@@ -1,0 +1,145 @@
+"""FCOS3D-style target assignment for the DAS head (pure, fixed-shape).
+
+Vectorised rebuild of the reference's per-image python loop
+(ref: mmdet3d/models/pose_heads/das_head.py:488-651):
+
+* per-level ``regress_ranges`` gate on the max visible joint-offset length,
+* center sampling inside a ``radius*stride`` box around the root center,
+* ambiguity resolved by nearest root center,
+* centerness target ``exp(-alpha * dist / (1.414 * stride * radius))``,
+* target vector layout ``[dx, dy, depth, duvd(3J), vis(J)]`` with the xy
+  offsets normalised by the level stride.
+
+Instead of the reference's dynamic ``num_points x num_gts`` expand per image,
+ground truths arrive padded to a fixed ``max_gt`` with a validity mask, and
+the whole batch is assigned with one ``vmap`` — no host sync, no dynamic
+shapes, XLA-friendly.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+INF = 1e8
+
+
+def make_points(featmap_sizes: Sequence[Tuple[int, int]],
+                strides: Sequence[int]) -> Tuple[np.ndarray, np.ndarray,
+                                                 np.ndarray]:
+    """All-level points, their strides and per-point level id.
+
+    Points follow the reference convention ``grid * stride + stride // 2``
+    (ref das_head.py:269-279).
+    """
+    pts, strd, lvl = [], [], []
+    for i, ((h, w), s) in enumerate(zip(featmap_sizes, strides)):
+        ys, xs = np.mgrid[0:h, 0:w]
+        p = np.stack([xs.reshape(-1) * s, ys.reshape(-1) * s], -1) + s // 2
+        pts.append(p.astype(np.float32))
+        strd.append(np.full(h * w, s, np.float32))
+        lvl.append(np.full(h * w, i, np.int32))
+    return (np.concatenate(pts), np.concatenate(strd), np.concatenate(lvl))
+
+
+def _assign_single(points: jnp.ndarray,          # (P, 2)
+                   strides: jnp.ndarray,         # (P,)
+                   rr: jnp.ndarray,              # (P, 2) regress ranges
+                   poses: jnp.ndarray,           # (G, 3 + 4J)
+                   centers2d: jnp.ndarray,       # (G, 2)
+                   depths: jnp.ndarray,          # (G,)
+                   valid: jnp.ndarray,           # (G,) bool
+                   num_joints: int,
+                   radius: float,
+                   alpha: float,
+                   bg_label: int):
+    P = points.shape[0]
+    G = poses.shape[0]
+    J = num_joints
+
+    uvds = poses[:, 3:3 + 3 * J].reshape(G, J, 3)
+    vis = poses[:, 3 + 3 * J:]                               # (G, J)
+    duvd = uvds.at[..., :2].add(-poses[:, None, :2])         # xy root-rel
+    # z channel keeps the stored (already dz or absolute) value (ref :584)
+
+    # max visible joint-offset length per gt (constant over points, ref :592)
+    off_len = jnp.sqrt((duvd[..., :2] ** 2).sum(-1)) * vis   # (G, J)
+    max_reg_dist = off_len.max(-1)                           # (G,)
+
+    dx = points[:, None, 0] - centers2d[None, :, 0]          # (P, G)
+    dy = points[:, None, 1] - centers2d[None, :, 1]
+
+    rs = strides[:, None] * radius                           # (P, 1)
+    inside_cb = (jnp.abs(dx) < rs) & (jnp.abs(dy) < rs)
+    inside_rr = (max_reg_dist[None, :] >= rr[:, :1]) & \
+                (max_reg_dist[None, :] <= rr[:, 1:2])
+
+    dists = jnp.sqrt(dx ** 2 + dy ** 2)
+    dists = jnp.where(inside_cb & inside_rr & valid[None, :], dists, INF)
+    min_dist = dists.min(axis=1)
+    min_idx = dists.argmin(axis=1)                           # (P,)
+
+    is_pos = min_dist < INF
+    labels = jnp.where(is_pos, 0, bg_label).astype(jnp.int32)
+
+    # gather matched gt attributes per point
+    sel_dx = jnp.take_along_axis(dx, min_idx[:, None], 1)[:, 0]
+    sel_dy = jnp.take_along_axis(dy, min_idx[:, None], 1)[:, 0]
+    sel_depth = depths[min_idx]
+    sel_duvd = duvd.reshape(G, 3 * J)[min_idx]
+    sel_vis = vis[min_idx]
+
+    pose_targets = jnp.concatenate(
+        [sel_dx[:, None], sel_dy[:, None], sel_depth[:, None],
+         sel_duvd, sel_vis], axis=-1)                        # (P, 3 + 4J)
+
+    rel = jnp.sqrt(sel_dx ** 2 + sel_dy ** 2) / (1.414 * rs[:, 0])
+    centerness = jnp.exp(-alpha * rel)
+
+    # normalise xy offsets by the level stride (ref get_targets :547)
+    pose_targets = pose_targets.at[:, :2].multiply(1.0 / strides[:, None])
+    return labels, pose_targets, centerness
+
+
+def get_targets(featmap_sizes: Sequence[Tuple[int, int]],
+                strides: Sequence[int],
+                regress_ranges: Sequence[Tuple[float, float]],
+                gt_poses_3d: jnp.ndarray,        # (B, G, 3 + 4J)
+                gt_centers2d: jnp.ndarray,       # (B, G, 2)
+                gt_depths: jnp.ndarray,          # (B, G)
+                gt_valid: jnp.ndarray,           # (B, G) bool
+                num_joints: int,
+                center_sample_radius: float = 1.5,
+                centerness_alpha: float = 2.5,
+                bg_label: int = 1) -> Dict[str, jnp.ndarray]:
+    """Batched assignment. Returns flat arrays ordered level-major
+    (within a level: image-major), matching the head's flattened preds."""
+    pts_np, strd_np, lvl_np = make_points(featmap_sizes, strides)
+    points = jnp.asarray(pts_np)
+    strd = jnp.asarray(strd_np)
+    rr_np = np.asarray(regress_ranges, np.float32)[lvl_np]
+    rr = jnp.asarray(rr_np)
+
+    labels, pose_t, ctr_t = jax.vmap(
+        lambda p, c, d, v: _assign_single(
+            points, strd, rr, p, c, d, v, num_joints,
+            center_sample_radius, centerness_alpha, bg_label)
+    )(gt_poses_3d, gt_centers2d, gt_depths, gt_valid)
+    # labels: (B, P) etc. -> reorder to level-major / image-major flat
+    out_labels, out_pose, out_ctr, out_strd = [], [], [], []
+    begin = 0
+    for (h, w), s in zip(featmap_sizes, strides):
+        n = h * w
+        sl = slice(begin, begin + n)
+        out_labels.append(labels[:, sl].reshape(-1))
+        out_pose.append(pose_t[:, sl].reshape(-1, pose_t.shape[-1]))
+        out_ctr.append(ctr_t[:, sl].reshape(-1))
+        out_strd.append(jnp.full((labels.shape[0] * n,), s, jnp.float32))
+        begin += n
+    return dict(labels=jnp.concatenate(out_labels),
+                pose_targets=jnp.concatenate(out_pose),
+                centerness_targets=jnp.concatenate(out_ctr),
+                strides=jnp.concatenate(out_strd))

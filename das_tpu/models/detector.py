@@ -1,0 +1,82 @@
+"""DAS detector: backbone + FPN + DASHead composition (TPU/flax).
+
+Rebuilds the reference detector stack
+(ref: mmdet3d/models/detectors/das.py:6-39,
+single_stage_mono3d.py / base.py dispatch): ``extract_feat`` ->
+head forward; train returns per-level outputs for the loss, test feeds the
+fused decode.
+
+Built from an mmdet3d-style model config via ``build_model`` so the
+reference configs keep working (ref: mmdet3d/models/builder.py:75).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ..config import ConfigDict, wrap_cfg
+from ..config.registry import BACKBONES, HEADS, MODELS, NECKS, build_from_cfg
+
+Dtype = Any
+
+
+@MODELS.register_module()
+class DAS(nn.Module):
+    """Single-stage multi-person 3D pose detector."""
+    backbone: dict
+    neck: dict
+    bbox_head: dict
+    train_cfg: Optional[dict] = None
+    test_cfg: Optional[dict] = None
+    pretrained: Optional[str] = None
+    dtype: Dtype = jnp.float32
+    axis_name: Optional[str] = None
+
+    def setup(self):
+        common = dict(dtype=self.dtype, axis_name=self.axis_name)
+        self.backbone_mod = build_from_cfg(
+            _clean(self.backbone), BACKBONES, name='backbone', **common)
+        self.neck_mod = build_from_cfg(
+            _clean(self.neck), NECKS, name='neck', **common)
+        head_cfg = _clean(self.bbox_head)
+        head_cfg.setdefault('train_cfg', self.train_cfg)
+        head_cfg.setdefault('test_cfg', self.test_cfg)
+        self.head_mod = build_from_cfg(
+            head_cfg, HEADS, name='bbox_head', **common)
+
+    def extract_feat(self, img: jnp.ndarray, train: bool = False):
+        x = self.backbone_mod(img, train)
+        return self.neck_mod(x, train)
+
+    def __call__(self, img: jnp.ndarray, train: bool = False):
+        """Forward to per-level head outputs.
+
+        Returns (cls_scores, pose_preds, centernesses, ref_uvds), each a
+        list over levels of NHWC tensors.
+        """
+        feats = self.extract_feat(img, train)
+        return self.head_mod(feats, train)
+
+    def loss(self, img: jnp.ndarray, targets: Dict[str, jnp.ndarray],
+             max_pos: int = 1024) -> Dict[str, jnp.ndarray]:
+        """Training forward + loss (ref das.py:17-32)."""
+        cls_scores, pose_preds, centernesses, ref_uvds = self(
+            img, train=True)
+        return self.head_mod.loss(cls_scores, pose_preds, centernesses,
+                                  ref_uvds, targets, max_pos=max_pos)
+
+
+def _clean(cfg) -> dict:
+    """Copy a component config, dropping keys the flax modules don't take."""
+    cfg = dict(cfg)
+    cfg.pop('pretrained', None)
+    return cfg
+
+
+def build_model(cfg: dict, dtype=jnp.float32, axis_name=None) -> DAS:
+    """mmdet3d-style entry: ``build_model(cfg.model)``."""
+    cfg = dict(wrap_cfg(cfg))
+    return build_from_cfg(cfg, MODELS, dtype=dtype, axis_name=axis_name)

@@ -1,0 +1,151 @@
+"""Flax building blocks shared by the DAS model family.
+
+``ConvModule`` mirrors the conv->norm->act unit the reference composes
+everywhere (mmcv ConvModule used in mspn_mmpose.py / das_head.py /
+recursive_update.py), including the DCNv2 variant
+(``conv_cfg=dict(type='DCNv2')``). Everything is NHWC and jit-friendly.
+
+Norm semantics:
+* ``BN`` / ``SyncBN`` -> flax BatchNorm (torch eps 1e-5, momentum 0.1).
+  ``SyncBN`` becomes a cross-replica BatchNorm by giving it the mesh axis
+  name — moments are averaged with a ``pmean`` over the data axis, the
+  TPU-native equivalent of the reference's mmcv SyncBN CUDA op
+  (SURVEY.md §2.2).
+* ``GN``  -> GroupNorm(32) (torch eps 1e-5).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence, Tuple, Union
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ..ops.deform_conv import modulated_deform_conv
+
+Dtype = Any
+
+
+def make_norm(norm_cfg: Optional[dict], name: str, dtype: Dtype,
+              axis_name: Optional[str]) -> Optional[nn.Module]:
+    """Build a norm layer from an mmcv-style norm_cfg dict."""
+    if norm_cfg is None:
+        return None
+    # norm_cfg may be a dict, ConfigDict or flax FrozenDict — duck-type
+    kind = norm_cfg if isinstance(norm_cfg, str) else norm_cfg['type']
+    if kind in ('BN', 'SyncBN'):
+        return nn.BatchNorm(
+            use_running_average=None,  # passed at call time
+            momentum=0.9,
+            epsilon=1e-5,
+            dtype=dtype,
+            axis_name=axis_name if kind == 'SyncBN' else None,
+            name=name)
+    if kind == 'GN':
+        num_groups = 32 if isinstance(norm_cfg, str) \
+            else norm_cfg.get('num_groups', 32)
+        return nn.GroupNorm(num_groups=num_groups, epsilon=1e-5,
+                            dtype=dtype, name=name)
+    raise ValueError(f'unsupported norm type {kind}')
+
+
+class DeformConv2d(nn.Module):
+    """DCNv2 pack layer: zero-init offset conv + modulated deform conv."""
+    features: int
+    kernel_size: int = 3
+    padding: int = 1
+    use_bias: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        k = self.kernel_size
+        kk = k * k
+        raw = nn.Conv(features=3 * kk,
+                      kernel_size=(k, k),
+                      padding=[(self.padding, self.padding)] * 2,
+                      kernel_init=nn.initializers.zeros,
+                      bias_init=nn.initializers.zeros,
+                      dtype=self.dtype,
+                      name='conv_offset')(x)
+        offset = raw[..., :2 * kk]
+        mask = nn.sigmoid(raw[..., 2 * kk:])
+        cin = x.shape[-1]
+        weight = self.param(
+            'kernel', nn.initializers.he_normal(),
+            (k, k, cin, self.features), jnp.float32)
+        bias = self.param('bias', nn.initializers.zeros,
+                          (self.features,), jnp.float32) \
+            if self.use_bias else None
+        return modulated_deform_conv(
+            x.astype(self.dtype), offset.astype(self.dtype),
+            mask.astype(self.dtype), weight.astype(self.dtype),
+            None if bias is None else bias.astype(self.dtype),
+            kernel_size=k, padding=self.padding)
+
+
+class ConvModule(nn.Module):
+    """conv -> norm -> act, matching mmcv ConvModule defaults.
+
+    ``bias='auto'`` means bias iff there is no norm (mmcv behaviour).
+    """
+    features: int
+    kernel_size: int = 3
+    stride: int = 1
+    padding: int = 0
+    bias: Union[str, bool] = 'auto'
+    norm_cfg: Optional[dict] = None
+    act: Optional[str] = 'relu'
+    dcn: bool = False
+    dtype: Dtype = jnp.float32
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        use_bias = (self.norm_cfg is None) if self.bias == 'auto' \
+            else bool(self.bias)
+        if self.dcn:
+            assert self.stride == 1
+            x = DeformConv2d(features=self.features,
+                             kernel_size=self.kernel_size,
+                             padding=self.padding,
+                             use_bias=use_bias,
+                             dtype=self.dtype,
+                             name='conv')(x)
+        else:
+            x = nn.Conv(features=self.features,
+                        kernel_size=(self.kernel_size, self.kernel_size),
+                        strides=(self.stride, self.stride),
+                        padding=[(self.padding, self.padding)] * 2,
+                        use_bias=use_bias,
+                        dtype=self.dtype,
+                        name='conv')(x)
+        norm = make_norm(self.norm_cfg, 'bn' if (self.norm_cfg or {}).get(
+            'type', 'BN') != 'GN' else 'gn', self.dtype, self.axis_name)
+        if norm is not None:
+            if isinstance(norm, nn.BatchNorm):
+                x = norm(x, use_running_average=not train)
+            else:
+                x = norm(x)
+        if self.act == 'relu':
+            x = nn.relu(x)
+        elif self.act is not None:
+            raise ValueError(f'unsupported act {self.act}')
+        return x
+
+
+class Scale(nn.Module):
+    """Learnable scalar multiplier (ref: mmcv Scale at das_head.py:171)."""
+    init: float = 1.0
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        s = self.param('scale',
+                       lambda key: jnp.asarray(self.init, jnp.float32))
+        return x * s
+
+
+def max_pool_3x3_s2(x: jnp.ndarray) -> jnp.ndarray:
+    """torch MaxPool2d(kernel_size=3, stride=2, padding=1) in NHWC."""
+    return nn.max_pool(x, window_shape=(3, 3), strides=(2, 2),
+                       padding=((1, 1), (1, 1)))

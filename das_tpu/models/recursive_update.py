@@ -1,0 +1,174 @@
+"""Recursive joint-offset refinement branch (TPU/flax rebuild).
+
+Rebuilds the reference's ``RecursiveUpdateBranch``
+(ref: mmdet3d/models/pose_heads/recursive_update.py:238-255): a 1x1
+reduction followed by N refinement layers. Each layer
+
+  1. updates features with a DCNv2 conv and gates the joint-offset field
+     (``NextLevelOffset``, ref :164-197),
+  2. re-samples the offset field at head-proposed locations — including the
+     currently-predicted joint location — with bilinear sampling, and fuses
+     the 2*num_heads proposals with a per-dim softmax over sampled
+     confidences (``offset_sample`` / ``offset_sample_core``, ref :9-82).
+
+The torch path normalises coordinates for ``F.grid_sample``; since the
+normalisation and the sampler's half-pixel convention cancel exactly, the
+TPU version samples at absolute pixel coordinates directly
+(das_tpu.ops.interp.sample_bilinear_abs), which keeps one fused gather.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..ops.interp import sample_bilinear_abs
+from .layers import ConvModule
+
+Dtype = Any
+
+
+def _offset_sample(uvd: jnp.ndarray,
+                   sampling_offset: jnp.ndarray,
+                   joint_conf: jnp.ndarray,
+                   num_joints: int,
+                   num_heads: int,
+                   dim: int) -> jnp.ndarray:
+    """Multi-head deformable re-sampling of the joint-offset field.
+
+    Args (all NHWC):
+        uvd:             (N, H, W, J*dim)     per-point joint offsets
+        sampling_offset: (N, H, W, J*heads*2) head displacement proposals
+        joint_conf:      (N, H, W, J*dim)     confidence field
+    Returns:
+        (N, H, W, J*dim) refined offsets.
+    """
+    N, H, W, _ = uvd.shape
+    J, Hd, D = num_joints, num_heads, dim
+
+    # fold joints into the batch axis: (N*J, H, W, c)
+    def fold(x, c):
+        x = x.reshape(N, H, W, J, c)
+        x = x.transpose(0, 3, 1, 2, 4)
+        return x.reshape(N * J, H, W, c)
+
+    uvd_j = fold(uvd, D)                                   # (NJ, H, W, D)
+    samp_j = fold(sampling_offset, Hd * 2)                 # (NJ, H, W, 2Hd)
+    conf_j = fold(joint_conf, D)                           # (NJ, H, W, D)
+
+    xs = jnp.arange(W, dtype=uvd.dtype)[None, None, :] + 0.5
+    ys = jnp.arange(H, dtype=uvd.dtype)[None, :, None] + 0.5
+
+    # --- heads sampled at the predicted target location -------------------
+    off_to_target = uvd_j[..., :2]                          # (NJ, H, W, 2)
+    tx = xs + off_to_target[..., 0] - 0.5                  # abs pixel coords
+    ty = ys + off_to_target[..., 1] - 0.5
+    off_from_target = sample_bilinear_abs(samp_j, tx, ty)  # (NJ,H,W,2Hd)
+    off_from_target = off_from_target.reshape(N * J, H, W, Hd, 2) \
+        + off_to_target[..., None, :]
+
+    # --- heads sampled at the source point ---------------------------------
+    off_from_source = samp_j.reshape(N * J, H, W, Hd, 2)
+
+    # (NJ, H, W, 2Hd, 2) candidate displacements
+    samp_off = jnp.concatenate([off_from_target, off_from_source], axis=3)
+
+    # sample [uvd, conf] at each candidate location
+    feat = jnp.concatenate([uvd_j, conf_j], axis=-1)       # (NJ, H, W, 2D)
+    sx = xs[..., None] + samp_off[..., 0] - 0.5            # (NJ, H, W, 2Hd)
+    sy = ys[..., None] + samp_off[..., 1] - 0.5
+    sampled = sample_bilinear_abs(feat, sx, sy)            # (NJ,H,W,2Hd,2D)
+    samp_uvd, samp_conf = sampled[..., :D], sampled[..., D:]
+
+    # re-base sampled uvd to the source point (z displacement is 0)
+    if D == 3:
+        diff = jnp.concatenate(
+            [samp_off, jnp.zeros_like(samp_off[..., :1])], axis=-1)
+    else:
+        diff = samp_off
+    samp_uvd = samp_uvd + diff                             # (NJ,H,W,2Hd,D)
+
+    # per-dim softmax fusion over the 2*heads proposals
+    w = jax.nn.softmax(samp_conf, axis=3)
+    fused = (samp_uvd * w).sum(axis=3)                     # (NJ, H, W, D)
+
+    fused = fused.reshape(N, J, H, W, D).transpose(0, 2, 3, 1, 4)
+    return fused.reshape(N, H, W, J * D)
+
+
+class NextLevelOffset(nn.Module):
+    """Gated offset update + proposal heads (ref recursive_update.py:164)."""
+    num_joints: int
+    num_heads: int
+    dim: int = 3
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, feat: jnp.ndarray, offset: jnp.ndarray,
+                 train: bool = False):
+        J, Hd, D = self.num_joints, self.num_heads, self.dim
+        upd = ConvModule(feat.shape[-1], 3, 1, 1, dcn=True,
+                         norm_cfg=dict(type='GN', num_groups=32),
+                         dtype=self.dtype,
+                         name='update_feat_conv')(feat, train)
+        feat = feat + upd
+
+        sampling_offset = nn.Conv(J * Hd * 2, (1, 1), dtype=self.dtype,
+                                  kernel_init=nn.initializers.normal(1e-2),
+                                  name='sampling_offset')(feat)
+        sampling_conf = nn.Conv(J * D, (1, 1), dtype=self.dtype,
+                                name='sampling_conf')(feat)
+        offset_weight = nn.sigmoid(
+            nn.Conv(J * D, (1, 1), dtype=self.dtype,
+                    name='update_weight')(feat))
+        next_offset = nn.Conv(J * D, (1, 1), dtype=self.dtype,
+                              name='update_offset_value')(feat)
+        offset = (1.0 - offset_weight) * offset + offset_weight * next_offset
+        return feat, offset, sampling_offset, sampling_conf
+
+
+class RecursiveUpdateLayer(nn.Module):
+    num_joints: int
+    num_heads: int
+    dim: int = 3
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, feat: jnp.ndarray, prev_offset: jnp.ndarray,
+                 train: bool = False):
+        feat, offset, samp_off, samp_conf = NextLevelOffset(
+            num_joints=self.num_joints, num_heads=self.num_heads,
+            dim=self.dim, dtype=self.dtype,
+            name='next_level_offset')(feat, prev_offset, train)
+        new_offset = _offset_sample(offset, samp_off, samp_conf,
+                                    self.num_joints, self.num_heads,
+                                    self.dim)
+        return feat, new_offset
+
+
+class RecursiveUpdateBranch(nn.Module):
+    """1x1 reduction + stacked refinement layers (ref :238-255)."""
+    num_joints: int
+    num_heads: int = 4
+    in_channels: int = 256
+    feat_channels: int = 256
+    num_layers: int = 1
+    dim: int = 3
+    prev_loss: bool = True       # consumed by the loss, kept for config parity
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, feat: jnp.ndarray, offset: jnp.ndarray,
+                 train: bool = False) -> jnp.ndarray:
+        feat = ConvModule(self.feat_channels, 1, 1, 0,
+                          norm_cfg=dict(type='GN', num_groups=32),
+                          dtype=self.dtype, name='reduction')(feat, train)
+        for i in range(self.num_layers):
+            feat, offset = RecursiveUpdateLayer(
+                num_joints=self.num_joints, num_heads=self.num_heads,
+                dim=self.dim, dtype=self.dtype,
+                name=f'layer_{i}')(feat, offset, train)
+        return offset

@@ -1,0 +1,108 @@
+"""Modulated deformable convolution (DCNv2) as gather + MXU matmul.
+
+The reference uses mmcv's CUDA ``ModulatedDeformConv2dPack`` on the last conv
+of every head tower (ref: anchor_free_mono3d_pose_head.py:111-112,
+das_head.py:107-108) and inside the recursive-update feature convs
+(ref: recursive_update.py:177-178). There is no deformable-conv XLA op, so we
+express it TPU-natively: bilinear-gather the K*K deformed taps, modulate, and
+contract the (K*K*Cin) axis against the kernel on the MXU.
+
+Semantics match mmcv's pack layer:
+  * ``conv_offset`` (a plain conv, zero-init) produces 3*K*K channels:
+    the first 2*K*K are (dy, dx) interleaved per kernel tap (row-major),
+    the last K*K are mask logits passed through sigmoid.
+  * sampling uses zero padding outside the image.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from .interp import sample_bilinear_abs
+
+
+def modulated_deform_conv(x: jnp.ndarray,
+                          offset: jnp.ndarray,
+                          mask: jnp.ndarray,
+                          weight: jnp.ndarray,
+                          bias: jnp.ndarray = None,
+                          kernel_size: int = 3,
+                          padding: int = 1) -> jnp.ndarray:
+    """DCNv2 forward, stride 1, dilation 1, deform_groups 1, NHWC.
+
+    Args:
+        x:      (N, H, W, Cin)
+        offset: (N, H, W, 2*K*K) — (dy, dx) interleaved per tap, row-major
+        mask:   (N, H, W, K*K)   — already sigmoid-activated
+        weight: (K, K, Cin, Cout)
+        bias:   (Cout,) or None
+    Returns:
+        (N, H, W, Cout)
+    """
+    N, H, W, Cin = x.shape
+    K = kernel_size
+    KK = K * K
+    Cout = weight.shape[-1]
+
+    # Base grid of output pixel centres.
+    ys = jnp.arange(H, dtype=x.dtype)[None, :, None, None]    # (1,H,1,1)
+    xs = jnp.arange(W, dtype=x.dtype)[None, None, :, None]    # (1,1,W,1)
+
+    # Per-tap base displacement (kh - pad, kw - pad), row-major taps.
+    kh = jnp.arange(K, dtype=x.dtype)
+    kw = jnp.arange(K, dtype=x.dtype)
+    base_dy = jnp.repeat(kh, K) - padding                     # (KK,)
+    base_dx = jnp.tile(kw, K) - padding                       # (KK,)
+
+    dy = offset[..., 0::2]                                    # (N,H,W,KK)
+    dx = offset[..., 1::2]
+
+    sample_y = ys + base_dy[None, None, None, :] + dy         # (N,H,W,KK)
+    sample_x = xs + base_dx[None, None, None, :] + dx
+
+    # (N, H, W, KK, Cin)
+    taps = sample_bilinear_abs(x, sample_x, sample_y)
+    taps = taps * mask[..., None]
+
+    # Contract (KK, Cin) against kernel on the MXU.
+    # torch kernel layout (Cout, Cin, kh, kw) maps to ours as
+    # weight[kh, kw, cin, cout]; taps tap-index k = kh*K + kw.
+    out = jnp.einsum('nhwkc,kco->nhwo',
+                     taps,
+                     weight.reshape(KK, Cin, Cout),
+                     preferred_element_type=x.dtype)
+    if bias is not None:
+        out = out + bias
+    return out
+
+
+def dcn_v2(x: jnp.ndarray,
+           offset_weight: jnp.ndarray,
+           offset_bias: jnp.ndarray,
+           weight: jnp.ndarray,
+           bias: jnp.ndarray = None,
+           kernel_size: int = 3,
+           padding: int = 1) -> jnp.ndarray:
+    """Full DCNv2 pack: compute offsets/mask with a plain conv, then deform.
+
+    Args:
+        x: (N, H, W, Cin)
+        offset_weight: (K, K, Cin, 3*K*K) — the ``conv_offset`` kernel
+        offset_bias:   (3*K*K,)
+        weight: (K, K, Cin, Cout) main kernel; bias: (Cout,) or None
+    """
+    import jax
+    import jax.lax as lax
+    K = kernel_size
+    KK = K * K
+    raw = lax.conv_general_dilated(
+        x, offset_weight,
+        window_strides=(1, 1),
+        padding=((padding, padding), (padding, padding)),
+        dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+    raw = raw + offset_bias
+    # mmcv pack: chunk(3) -> (o1, o2, mask); offset = cat(o1, o2)
+    offset = raw[..., :2 * KK]
+    mask = jax.nn.sigmoid(raw[..., 2 * KK:])
+    return modulated_deform_conv(x, offset, mask, weight, bias,
+                                 kernel_size, padding)

@@ -1,0 +1,19 @@
+"""Test harness: run everything on a virtual 8-device CPU mesh.
+
+The reference never had a multi-device-capable test backend (SURVEY.md §4);
+we force the XLA host platform with 8 devices so sharding paths are testable
+without TPU hardware.
+"""
+
+import os
+
+os.environ.setdefault('JAX_PLATFORMS', 'cpu')
+flags = os.environ.get('XLA_FLAGS', '')
+if 'xla_force_host_platform_device_count' not in flags:
+    os.environ['XLA_FLAGS'] = (
+        flags + ' --xla_force_host_platform_device_count=8').strip()
+
+import jax  # noqa: E402
+
+# parity tests compare against torch fp32; disable bf16 matmul passthrough
+jax.config.update('jax_default_matmul_precision', 'highest')

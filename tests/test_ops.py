@@ -1,0 +1,208 @@
+"""Parity tests for TPU ops against torch-CPU semantics.
+
+The reference's compute path uses torch F.grid_sample / F.interpolate / DCNv2
+(recursive_update.py:25,56; mspn_mmpose.py:385); these tests pin our XLA
+formulations to the same numerics.
+"""
+
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+import jax.numpy as jnp
+
+from das_tpu.ops.interp import (grid_sample, interpolate_bilinear_ac,
+                                sample_bilinear_abs, upsample_nearest)
+from das_tpu.ops.deform_conv import dcn_v2, modulated_deform_conv
+from das_tpu.ops.oks_nms import (default_sigmas, oks_nms_fixed, oks_nms_np,
+                                 soft_oks_nms_np)
+from das_tpu.losses.common import (binary_cross_entropy, sigmoid_focal_loss,
+                                   smooth_l1_loss)
+
+RNG = np.random.RandomState(0)
+
+
+def test_grid_sample_matches_torch():
+    img = RNG.randn(2, 7, 9, 3).astype(np.float32)
+    grid = (RNG.rand(2, 5, 6, 2).astype(np.float32) * 2.4 - 1.2)
+
+    ours = grid_sample(jnp.asarray(img), jnp.asarray(grid))
+    ref = F.grid_sample(
+        torch.from_numpy(img).permute(0, 3, 1, 2),
+        torch.from_numpy(grid),
+        mode='bilinear', padding_mode='zeros', align_corners=False)
+    ref = ref.permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(np.asarray(ours), ref, atol=1e-5)
+
+
+def test_grid_sample_align_corners_true():
+    img = RNG.randn(1, 8, 8, 2).astype(np.float32)
+    grid = (RNG.rand(1, 4, 4, 2).astype(np.float32) * 2 - 1)
+    ours = grid_sample(jnp.asarray(img), jnp.asarray(grid),
+                       align_corners=True)
+    ref = F.grid_sample(
+        torch.from_numpy(img).permute(0, 3, 1, 2), torch.from_numpy(grid),
+        mode='bilinear', padding_mode='zeros', align_corners=True)
+    np.testing.assert_allclose(np.asarray(ours),
+                               ref.permute(0, 2, 3, 1).numpy(), atol=1e-5)
+
+
+def test_interpolate_bilinear_align_corners():
+    x = RNG.randn(2, 5, 7, 4).astype(np.float32)
+    ours = interpolate_bilinear_ac(jnp.asarray(x), 10, 14)
+    ref = F.interpolate(torch.from_numpy(x).permute(0, 3, 1, 2),
+                        size=(10, 14), mode='bilinear', align_corners=True)
+    np.testing.assert_allclose(np.asarray(ours),
+                               ref.permute(0, 2, 3, 1).numpy(), atol=1e-5)
+
+
+def test_upsample_nearest_matches_torch():
+    x = RNG.randn(1, 4, 6, 2).astype(np.float32)
+    ours = upsample_nearest(jnp.asarray(x), 8, 12)
+    ref = F.interpolate(torch.from_numpy(x).permute(0, 3, 1, 2),
+                        size=(8, 12), mode='nearest')
+    np.testing.assert_allclose(np.asarray(ours),
+                               ref.permute(0, 2, 3, 1).numpy(), atol=1e-6)
+
+
+def _deform_conv_ref_np(x, offset, mask, weight, bias, pad=1):
+    """Slow numpy DCNv2 reference (NCHW torch layout)."""
+    n, cin, h, w = x.shape
+    cout, _, kh, kw = weight.shape
+    out = np.zeros((n, cout, h, w), np.float64)
+
+    def bilin(img, yy, xx):
+        y0, x0 = int(np.floor(yy)), int(np.floor(xx))
+        val = 0.0
+        for dy_, wy in ((y0, 1 - (yy - y0)), (y0 + 1, yy - y0)):
+            for dx_, wx in ((x0, 1 - (xx - x0)), (x0 + 1, xx - x0)):
+                if 0 <= dy_ < img.shape[0] and 0 <= dx_ < img.shape[1]:
+                    val += img[dy_, dx_] * wy * wx
+        return val
+
+    for b in range(n):
+        for i in range(h):
+            for j in range(w):
+                for k in range(kh * kw):
+                    ky, kx = divmod(k, kw)
+                    py = i - pad + ky + offset[b, 2 * k, i, j]
+                    px = j - pad + kx + offset[b, 2 * k + 1, i, j]
+                    m = mask[b, k, i, j]
+                    for ci in range(cin):
+                        v = bilin(x[b, ci], py, px) * m
+                        out[b, :, i, j] += weight[:, ci, ky, kx] * v
+    if bias is not None:
+        out += bias[None, :, None, None]
+    return out.astype(np.float32)
+
+
+def test_modulated_deform_conv_matches_reference():
+    n, cin, cout, h, w = 1, 3, 4, 5, 6
+    x = RNG.randn(n, cin, h, w).astype(np.float32)
+    offset = (RNG.randn(n, 18, h, w).astype(np.float32)) * 0.7
+    mask = 1 / (1 + np.exp(-RNG.randn(n, 9, h, w).astype(np.float32)))
+    weight = RNG.randn(cout, cin, 3, 3).astype(np.float32) * 0.2
+    bias = RNG.randn(cout).astype(np.float32)
+
+    ref = _deform_conv_ref_np(x, offset, mask, weight, bias)
+
+    ours = modulated_deform_conv(
+        jnp.asarray(x.transpose(0, 2, 3, 1)),
+        jnp.asarray(offset.transpose(0, 2, 3, 1)),
+        jnp.asarray(mask.transpose(0, 2, 3, 1)),
+        jnp.asarray(weight.transpose(2, 3, 1, 0)),
+        jnp.asarray(bias))
+    np.testing.assert_allclose(
+        np.asarray(ours).transpose(0, 3, 1, 2), ref, atol=1e-4)
+
+
+def test_dcn_v2_zero_offsets_equals_plain_conv():
+    """With conv_offset weights at 0 (the init), DCNv2 == plain 3x3 conv."""
+    n, cin, cout, h, w = 2, 4, 5, 6, 7
+    x = RNG.randn(n, h, w, cin).astype(np.float32)
+    weight = RNG.randn(3, 3, cin, cout).astype(np.float32) * 0.3
+    bias = RNG.randn(cout).astype(np.float32)
+    ow = np.zeros((3, 3, cin, 27), np.float32)
+    ob = np.zeros(27, np.float32)
+
+    ours = dcn_v2(jnp.asarray(x), jnp.asarray(ow), jnp.asarray(ob),
+                  jnp.asarray(weight), jnp.asarray(bias))
+
+    ref = F.conv2d(torch.from_numpy(x.transpose(0, 3, 1, 2)),
+                   torch.from_numpy(weight.transpose(3, 2, 0, 1)),
+                   torch.from_numpy(bias), padding=1)
+    # zero offset logits -> mask = sigmoid(0) = 0.5 scales every tap
+    ref = ref * 0.5 + torch.from_numpy(bias)[None, :, None, None] * 0.5
+    np.testing.assert_allclose(np.asarray(ours).transpose(0, 3, 1, 2),
+                               ref.numpy(), atol=1e-4)
+
+
+def test_oks_nms_fixed_matches_numpy():
+    M, J = 40, 15
+    kpts = RNG.rand(M, J, 2).astype(np.float32) * 50
+    # create overlapping clusters
+    kpts[1::4] = kpts[0::4][:len(kpts[1::4])] + RNG.randn(*kpts[1::4].shape)
+    scores = RNG.rand(M).astype(np.float32)
+    areas = (kpts[..., 0].max(1) - kpts[..., 0].min(1)) * \
+        (kpts[..., 1].max(1) - kpts[..., 1].min(1))
+    sig = default_sigmas(J)
+
+    db = [dict(score=scores[i],
+               keypoints=np.concatenate(
+                   [kpts[i], np.ones((J, 1), np.float32)], -1),
+               area=areas[i]) for i in range(M)]
+    ref_keep = set(oks_nms_np(db, thr=0.9).tolist())
+
+    order = np.argsort(-scores)
+    keep_mask = oks_nms_fixed(jnp.asarray(kpts[order]),
+                              jnp.asarray(scores[order]),
+                              jnp.asarray(areas[order]),
+                              jnp.ones(M, bool), 0.9, sig)
+    ours_keep = set(order[np.asarray(keep_mask)].tolist())
+    assert ours_keep == ref_keep
+
+
+def test_soft_oks_nms_runs():
+    J = 15
+    kpts = RNG.rand(5, J, 3).astype(np.float32) * 40
+    db = [dict(score=float(i) / 5 + .1, keypoints=kpts[i], area=100.0)
+          for i in range(5)]
+    keep = soft_oks_nms_np(db, thr=0.9, max_dets=3)
+    assert len(keep) == 3
+
+
+def test_focal_loss_matches_manual_torch():
+    logits = RNG.randn(32, 1).astype(np.float32)
+    labels = RNG.randint(0, 2, 32).astype(np.int64)  # 1 == background
+
+    t = torch.from_numpy(logits)
+    target = F.one_hot(torch.from_numpy(labels), 2)[:, :1].float()
+    p = torch.sigmoid(t)
+    pt = (1 - p) * target + p * (1 - target)
+    fw = (0.25 * target + 0.75 * (1 - target)) * pt.pow(2.0)
+    ref = (F.binary_cross_entropy_with_logits(
+        t, target, reduction='none') * fw).sum() / 7.0
+
+    ours = sigmoid_focal_loss(jnp.asarray(logits), jnp.asarray(labels),
+                              avg_factor=7.0)
+    np.testing.assert_allclose(float(ours), float(ref), rtol=1e-5)
+
+
+def test_smooth_l1_matches_torch():
+    pred = RNG.randn(13).astype(np.float32)
+    tgt = RNG.randn(13).astype(np.float32)
+    ref = F.smooth_l1_loss(torch.from_numpy(pred), torch.from_numpy(tgt),
+                           beta=1 / 9, reduction='sum') / 13.0
+    ours = smooth_l1_loss(jnp.asarray(pred), jnp.asarray(tgt),
+                          avg_factor=13.0)
+    np.testing.assert_allclose(float(ours), float(ref), rtol=1e-5)
+
+
+def test_bce_mean_matches_torch():
+    logits = RNG.randn(9).astype(np.float32)
+    targets = RNG.rand(9).astype(np.float32)
+    ref = F.binary_cross_entropy_with_logits(
+        torch.from_numpy(logits), torch.from_numpy(targets))
+    ours = binary_cross_entropy(jnp.asarray(logits), jnp.asarray(targets))
+    np.testing.assert_allclose(float(ours), float(ref), rtol=1e-5)
