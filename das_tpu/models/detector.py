@@ -68,6 +68,25 @@ class DAS(nn.Module):
         return self.head_mod.loss(cls_scores, pose_preds, centernesses,
                                   ref_uvds, targets, max_pos=max_pos)
 
+    def init_all(self, rng, img: jnp.ndarray):
+        """Create every parameter, including the loss-only RealNVP flows.
+
+        ``init`` on the plain forward never traces the flows; this helper
+        runs the loss path on dummy targets so the full tree exists for
+        checkpoint loading and training.
+        """
+        J = self.bbox_head['num_joints']
+        # token targets: shapes follow das_tpu.core.targets.get_targets
+        n_pts = sum((img.shape[1] // (4 * 2 ** i)) *
+                    (img.shape[2] // (4 * 2 ** i)) for i in range(4))
+        T = img.shape[0] * n_pts
+        targets = dict(
+            labels=jnp.ones((T,), jnp.int32),
+            pose_targets=jnp.zeros((T, 3 + 4 * J), jnp.float32),
+            centerness_targets=jnp.zeros((T,), jnp.float32),
+            strides=jnp.ones((T,), jnp.float32))
+        return self.init(rng, img, targets, method=DAS.loss)
+
 
 def _clean(cfg) -> dict:
     """Copy a component config, dropping keys the flax modules don't take."""

@@ -65,6 +65,7 @@ class DownsampleModule(nn.Module):
     has_skip: bool = False
     norm_cfg: Optional[dict] = None
     in_channels: int = 64
+    frozen_units: int = 0    # first K units run norm-eval (frozen_stages)
     dtype: Dtype = jnp.float32
     axis_name: Optional[str] = None
 
@@ -78,6 +79,7 @@ class DownsampleModule(nn.Module):
         for u in range(self.num_units):
             mid = self.in_channels * (2 ** u)            # 64,128,256,512
             stride = 1 if u == 0 else 2
+            u_train = train and u >= self.frozen_units
             for b in range(self.num_blocks[u]):
                 b_stride = stride if b == 0 else 1
                 has_ds = b == 0 and (b_stride != 1 or in_ch != mid * 4)
@@ -85,7 +87,7 @@ class DownsampleModule(nn.Module):
                                has_downsample=has_ds,
                                norm_cfg=self.norm_cfg, dtype=self.dtype,
                                axis_name=self.axis_name,
-                               name=f'layer{u + 1}_{b}')(x, train)
+                               name=f'layer{u + 1}_{b}')(x, u_train)
                 in_ch = mid * 4
             if self.has_skip:
                 x = x + skip1[u] + skip2[u]
@@ -176,6 +178,7 @@ class SingleStageNetwork(nn.Module):
     num_blocks: Sequence[int] = (2, 2, 2, 2)
     norm_cfg: Optional[dict] = None
     in_channels: int = 64
+    frozen_units: int = 0
     dtype: Dtype = jnp.float32
     axis_name: Optional[str] = None
 
@@ -184,7 +187,8 @@ class SingleStageNetwork(nn.Module):
         mid = DownsampleModule(
             num_blocks=self.num_blocks, num_units=self.num_units,
             has_skip=self.has_skip, norm_cfg=self.norm_cfg,
-            in_channels=self.in_channels, dtype=self.dtype,
+            in_channels=self.in_channels, frozen_units=self.frozen_units,
+            dtype=self.dtype,
             axis_name=self.axis_name, name='downsample')(
                 x, skip1, skip2, train)
         return UpsampleModule(
@@ -234,9 +238,10 @@ class MSPN2(nn.Module):
     def __call__(self, x: jnp.ndarray,
                  train: bool = False) -> List[jnp.ndarray]:
         norm_cfg = self.norm_cfg or dict(type='BN')
+        top_train = train and self.frozen_stages < 0
         x = ResNetTop(norm_cfg=norm_cfg, channels=self.res_top_channels,
                       dtype=self.dtype, axis_name=self.axis_name,
-                      name='top')(x, train)
+                      name='top')(x, top_train)
         skip1 = skip2 = None
         out_feats = []
         for i in range(self.num_stages):
@@ -249,6 +254,7 @@ class MSPN2(nn.Module):
                 num_blocks=list(self.num_blocks),
                 norm_cfg=norm_cfg,
                 in_channels=self.res_top_channels,
+                frozen_units=max(self.frozen_stages, 0) if i == 0 else 0,
                 dtype=self.dtype, axis_name=self.axis_name,
                 name=f'stage{i}')
             out, skip1, skip2, x = stage(x, skip1, skip2, train)
