@@ -1,0 +1,74 @@
+"""End-to-end inference benchmark on the flagship exp_panoptic model.
+
+Measures images/sec/chip for the fused forward+decode program at the
+Panoptic test resolution bucket (1333x640 keep-ratio -> 640x1152 padded,
+ref configs/das/exp_panoptic.py:138-155) and prints ONE JSON line.
+
+``vs_baseline`` compares against the BASELINE.json target of >= 10x the
+PyTorch-CPU images/sec/chip; the torch-CPU reference throughput for this
+model is measured once with a same-shape torch conv stack if the real
+reference stack is unavailable (it needs mmcv/mmdet, not installed), so we
+report against a fixed recorded torch-CPU figure instead.
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+TORCH_CPU_BASELINE_IMG_S = 0.0662  # measured: tools/torch_cpu_baseline.py
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update('jax_compilation_cache_dir', '/tmp/das_tpu_jax_cache')
+
+    from __graft_entry__ import _build
+    from das_tpu.core.decode import decode_batch
+
+    H, W = 640, 1152          # Panoptic test bucket (1920x1080 * 0.593)
+    B = 4
+    cfg, model, variables = _build(img_hw=(H, W), dtype=jnp.bfloat16)
+    head = cfg.model.bbox_head
+    strides = tuple(head.strides)
+    J = int(head.num_joints)
+    test_cfg = dict(cfg.model.test_cfg)
+
+    @jax.jit
+    def predict(variables, img, sf):
+        cls_scores, pose_preds, centernesses, _ = model.apply(
+            variables, img, train=False)
+        return decode_batch(cls_scores, pose_preds, centernesses,
+                            strides, sf, J, test_cfg)
+
+    rng = np.random.RandomState(0)
+    img = jnp.asarray(rng.randn(B, H, W, 3), jnp.float32)
+    sf = jnp.full((B, 2), 0.593, jnp.float32)
+
+    # warmup / compile
+    out = predict(variables, img, sf)
+    jax.block_until_ready(out)
+
+    iters = 10
+    t0 = time.perf_counter()
+    for i in range(iters):
+        # perturb the input with the previous output so no layer of the
+        # stack can dedupe or overlap identical dispatches
+        img = img + out['scores'][0, 0]
+        out = predict(variables, img, sf)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+
+    img_per_s = B * iters / dt
+    print(json.dumps(dict(
+        metric='panoptic_e2e_inference_img_per_s_per_chip',
+        value=round(img_per_s, 3),
+        unit='img/s',
+        vs_baseline=round(img_per_s / TORCH_CPU_BASELINE_IMG_S, 2))))
+
+
+if __name__ == '__main__':
+    main()

@@ -1,0 +1,78 @@
+"""Inference APIs (ref: mmdet3d/apis/inference.py:36,195 and tools/test.py).
+
+``init_model`` builds the flax model from a config and optionally loads a
+torch checkpoint through the bridge. ``make_predict_fn`` returns ONE jitted
+function: backbone -> FPN -> head -> fused decode, entirely on device —
+the reference's ``simple_test`` + host-side numpy NMS collapsed into a
+single XLA program (per padded-resolution bucket).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Config
+from ..core.decode import decode_batch
+from ..models import DAS, build_model
+
+
+def init_model(config, checkpoint: Optional[str] = None,
+               dtype=jnp.float32, seed: int = 0,
+               input_shape: Tuple[int, int] = (64, 64)):
+    """Build model + variables; optionally load a torch .pth checkpoint."""
+    if isinstance(config, str):
+        config = Config.fromfile(config)
+    model = build_model(dict(config.model), dtype=dtype)
+    img = jnp.zeros((1, *input_shape, 3), jnp.float32)
+    variables = model.init_all(jax.random.PRNGKey(seed), img)
+    variables = dict(variables)
+    if checkpoint is not None:
+        from ..checkpoint.torch_bridge import load_torch_checkpoint
+        variables, report = load_torch_checkpoint(variables, checkpoint)
+        if report['missing']:
+            print(f'[das_tpu] checkpoint missing {len(report["missing"])} '
+                  'leaves (kept init values)')
+    return model, variables, config
+
+
+def make_predict_fn(model: DAS, test_cfg: Dict, num_joints: int,
+                    strides) -> Any:
+    """Jitted end-to-end predict: images + scale_factors -> decoded poses.
+
+    Compiles once per distinct padded image shape (resolution bucket).
+    """
+
+    @functools.partial(jax.jit, static_argnums=())
+    def predict(variables, img, scale_factors):
+        cls_scores, pose_preds, centernesses, _ = model.apply(
+            variables, img, train=False)
+        return decode_batch(cls_scores, pose_preds, centernesses,
+                            strides, scale_factors, num_joints,
+                            dict(test_cfg))
+
+    return predict
+
+
+def results_to_host(decoded, image_paths: List[str]) -> List[Dict]:
+    """Convert fixed-shape device output into the reference's per-image
+    result dicts (ref das_head.py:680-687)."""
+    scores = np.asarray(decoded['scores'])
+    poses = np.asarray(decoded['poses'])
+    centers = np.asarray(decoded['centers'])
+    vis = np.asarray(decoded['vis'])
+    valid = np.asarray(decoded['valid'])
+    out = []
+    for i, path in enumerate(image_paths):
+        m = valid[i]
+        out.append(dict(
+            poses=poses[i][m],
+            vis=vis[i][m],
+            centers=centers[i][m],
+            image_paths=[path],
+            scores=scores[i][m].tolist()))
+    return out

@@ -1,0 +1,137 @@
+"""Training driver (ref: mmdet3d/apis/train.py:6-35 + mmcv EpochBasedRunner
+with its hook set — SURVEY.md §1 layer 3).
+
+The mmcv runner/hook machinery collapses into one explicit loop:
+LR schedule and grad clipping live inside the jitted optimizer, logging /
+checkpointing / eval are plain host-side calls between steps. State is
+checkpointed with orbax (replacing mmcv CheckpointHook).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Config
+from ..datasets import build_dataset
+from ..datasets.loader import TrainLoader, train_pad_hw_from_cfg
+from ..models import build_model
+from ..parallel.train_step import (TrainState, make_lr_fn, make_optimizer,
+                                   make_train_step, mspn_frozen_prefixes)
+from ..utils.logging import MetricLogger
+from ..checkpoint.orbax_io import CheckpointManager
+
+
+def train_model(cfg: Config,
+                work_dir: str = 'work_dirs/exp',
+                resume_from: Optional[str] = None,
+                load_from: Optional[str] = None,
+                pretrained: Optional[str] = None,
+                max_steps: Optional[int] = None,
+                log_interval: Optional[int] = None,
+                seed: int = 0,
+                dtype=jnp.bfloat16):
+    """Full training run per the config recipe."""
+    os.makedirs(work_dir, exist_ok=True)
+    logger = MetricLogger(work_dir,
+                          interval=log_interval or
+                          int(cfg.get('log_config', {}).get('interval', 50)))
+
+    # ---------------- data
+    dataset = build_dataset(cfg.data['train'])
+    train_pipe = cfg.data['train'][0]['pipeline'] if isinstance(
+        cfg.data['train'], (list, tuple)) else cfg.data['train']['pipeline']
+    pad_hw = train_pad_hw_from_cfg(train_pipe)
+    batch_size = int(cfg.data.get('samples_per_gpu', 4)) * \
+        jax.device_count()
+    J = int(cfg.model.bbox_head.num_joints)
+    loader = TrainLoader(dataset, batch_size, pad_hw, J,
+                         num_workers=int(cfg.data.get('workers_per_gpu', 4)),
+                         seed=seed)
+    steps_per_epoch = loader.steps_per_epoch
+
+    # ---------------- model + state
+    model = build_model(dict(cfg.model), dtype=dtype)
+    img0 = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    variables = dict(model.init_all(jax.random.PRNGKey(seed), img0))
+
+    ckpt_path = pretrained or cfg.model.get('pretrained')
+    if load_from:
+        from ..checkpoint.torch_bridge import load_torch_checkpoint
+        variables, _ = load_torch_checkpoint(variables, load_from,
+                                             strict=False)
+    elif ckpt_path and os.path.exists(ckpt_path):
+        from ..checkpoint.torch_bridge import load_mspn_pretrained
+        variables, report = load_mspn_pretrained(variables, ckpt_path)
+        logger.text(f'loaded pretrained backbone {ckpt_path}; '
+                    f'{len(report["missing"])} leaves left at init')
+
+    opt_cfg = cfg.get('optimizer', {})
+    lr_cfg = cfg.get('lr_config', {})
+    runner_cfg = cfg.get('runner', {})
+    clip_cfg = (cfg.get('optimizer_config') or {}).get('grad_clip') or {}
+
+    lr_fn = make_lr_fn(
+        base_lr=float(opt_cfg.get('lr', 2e-3)),
+        warmup_iters=int(lr_cfg.get('warmup_iters', 250)),
+        warmup_ratio=float(lr_cfg.get('warmup_ratio', 1 / 3)),
+        step_epochs=tuple(lr_cfg.get('step', [16, 20])),
+        steps_per_epoch=steps_per_epoch)
+    frozen = mspn_frozen_prefixes(
+        int(cfg.model.backbone.get('frozen_stages', -1)))
+    pw = opt_cfg.get('paramwise_cfg', {}) or {}
+    tx_init, tx_update = make_optimizer(
+        variables['params'], lr_fn,
+        momentum=float(opt_cfg.get('momentum', 0.9)),
+        weight_decay=float(opt_cfg.get('weight_decay', 1e-4)),
+        grad_clip=float(clip_cfg.get('max_norm', 35.0)),
+        bias_lr_mult=float(pw.get('bias_lr_mult', 2.0)),
+        bias_decay_mult=float(pw.get('bias_decay_mult', 0.0)),
+        frozen_prefixes=frozen)
+
+    state = TrainState(step=jnp.zeros((), jnp.int32),
+                       params=variables['params'],
+                       batch_stats=variables['batch_stats'],
+                       opt_state=tx_init(variables['params']))
+
+    manager = CheckpointManager(
+        os.path.join(work_dir, 'ckpts'),
+        max_keep=int(cfg.get('checkpoint_config', {}).get(
+            'max_keep_ckpts', 20)))
+    if resume_from:
+        state = manager.restore(state, resume_from)
+        logger.text(f'resumed from {resume_from} at step '
+                    f'{int(state.step)}')
+
+    head = cfg.model.bbox_head
+    featmap_sizes = [(pad_hw[0] // (4 * 2 ** i), pad_hw[1] // (4 * 2 ** i))
+                     for i in range(4)]
+    step_fn = make_train_step(
+        model, tx_update, featmap_sizes, tuple(head.strides),
+        tuple(tuple(r) for r in head.regress_ranges), J,
+        center_sample_radius=float(head.get('center_sample_radius', 1.5)))
+
+    total_epochs = int(runner_cfg.get('max_epochs', 22))
+    total_steps = max_steps or total_epochs * steps_per_epoch
+
+    # ---------------- loop
+    t_last = time.perf_counter()
+    for batch in loader:
+        if int(state.step) >= total_steps:
+            break
+        batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        state, metrics = step_fn(state, batch)
+        step = int(state.step)
+        logger.log(step, metrics, batch_size,
+                   time.perf_counter() - t_last)
+        t_last = time.perf_counter()
+        if step % steps_per_epoch == 0:
+            manager.save(state, step)
+    manager.save(state, int(state.step))
+    return state

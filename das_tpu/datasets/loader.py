@@ -1,0 +1,109 @@
+"""Host-side batching for XLA static shapes.
+
+The reference leans on torch DataLoader + DataContainer collate with
+per-batch dynamic padding (SURVEY.md §1 data flow). On TPU, dynamic shapes
+force recompiles, so this loader:
+
+* pads every train image to ONE fixed bucket derived from the config's
+  max ``img_scale`` (÷32), giving a single compiled train step,
+* pads ground truths to a fixed ``max_gt`` with a validity mask
+  (consumed by the fixed-shape target assignment),
+* overlaps the CPU augmentation pipeline with device compute via a
+  background thread pool prefetcher.
+"""
+
+from __future__ import annotations
+
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from queue import Queue
+from typing import Dict, Iterator, Optional, Tuple
+
+import numpy as np
+
+
+def pad_batch(samples, pad_hw: Tuple[int, int], max_gt: int,
+              num_joints: int) -> Dict[str, np.ndarray]:
+    """Collate pipeline outputs into fixed-shape arrays."""
+    B = len(samples)
+    H, W = pad_hw
+    J = num_joints
+    img = np.zeros((B, H, W, 3), np.float32)
+    poses = np.zeros((B, max_gt, 3 + 4 * J), np.float32)
+    centers = np.zeros((B, max_gt, 2), np.float32)
+    depths = np.zeros((B, max_gt), np.float32)
+    valid = np.zeros((B, max_gt), bool)
+    for i, s in enumerate(samples):
+        im = s['img']
+        img[i, :im.shape[0], :im.shape[1]] = im
+        g = min(len(s['gt_poses_3d']), max_gt)
+        if g > 0:
+            poses[i, :g] = s['gt_poses_3d'][:g]
+            centers[i, :g] = s['centers2d'][:g]
+            depths[i, :g] = s['depths'][:g]
+            valid[i, :g] = True
+    return dict(img=img, gt_poses_3d=poses, gt_centers2d=centers,
+                gt_depths=depths, gt_valid=valid)
+
+
+class TrainLoader:
+    """Shuffled, prefetching train loader with fixed output shapes."""
+
+    def __init__(self, dataset, batch_size: int, pad_hw: Tuple[int, int],
+                 num_joints: int, max_gt: int = 32, seed: int = 0,
+                 num_workers: int = 4, prefetch: int = 2):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.pad_hw = pad_hw
+        self.max_gt = max_gt
+        self.num_joints = num_joints
+        self.rng = np.random.RandomState(seed)
+        self.pool = ThreadPoolExecutor(max_workers=num_workers)
+        self.prefetch = prefetch
+        self.steps_per_epoch = max(len(dataset) // batch_size, 1)
+
+    def _epoch_order(self):
+        order = np.arange(len(self.dataset))
+        self.rng.shuffle(order)
+        return order
+
+    def _load_one(self, idx: int):
+        return self.dataset[int(idx)]
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        queue: 'Queue' = Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def producer():
+            while not stop.is_set():
+                order = self._epoch_order()
+                for start in range(0, len(order) - self.batch_size + 1,
+                                   self.batch_size):
+                    if stop.is_set():
+                        return
+                    idxs = order[start:start + self.batch_size]
+                    samples = list(self.pool.map(self._load_one, idxs))
+                    queue.put(pad_batch(samples, self.pad_hw, self.max_gt,
+                                        self.num_joints))
+
+        thread = threading.Thread(target=producer, daemon=True)
+        thread.start()
+        try:
+            while True:
+                yield queue.get()
+        finally:
+            stop.set()
+
+
+def train_pad_hw_from_cfg(pipeline_cfg) -> Tuple[int, int]:
+    """Derive the fixed train bucket from the ResizePose img_scale."""
+    for t in pipeline_cfg:
+        if t.get('type') in ('ResizePose', 'Resize') and 'img_scale' in t:
+            scales = t['img_scale']
+            if not isinstance(scales[0], (list, tuple)):
+                scales = [scales]
+            h = max(min(s) for s in scales)
+            w = max(max(s) for s in scales)
+            pad = lambda v: int(np.ceil(v / 32)) * 32
+            return pad(h), pad(w)
+    return 640, 1344

@@ -17,3 +17,7 @@ import jax  # noqa: E402
 
 # parity tests compare against torch fp32; disable bf16 matmul passthrough
 jax.config.update('jax_default_matmul_precision', 'highest')
+
+# XLA-CPU compiles are slow in this environment; cache them across runs
+jax.config.update('jax_compilation_cache_dir', '/tmp/das_tpu_jax_cache')
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.5)

@@ -1,0 +1,56 @@
+"""Evaluation CLI (ref: tools/test.py).
+
+Usage:
+    python tools/test.py configs/das/exp_panoptic.py CKPT --eval mpjpe
+CKPT may be a torch .pth (loaded via the bridge) or an orbax directory.
+"""
+
+import argparse
+import ast
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
+
+
+def main():
+    parser = argparse.ArgumentParser(description='Evaluate a DAS-TPU model')
+    parser.add_argument('config')
+    parser.add_argument('checkpoint', nargs='?', default=None)
+    parser.add_argument('--eval', nargs='+', default=['mpjpe'])
+    parser.add_argument('--batch-size', type=int, default=4)
+    parser.add_argument('--out', default=None,
+                        help='pickle the raw outputs here')
+    parser.add_argument('--cfg-options', nargs='+', default=None)
+    args = parser.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    jax.config.update('jax_compilation_cache_dir', '/tmp/das_tpu_jax_cache')
+
+    from das_tpu.config import Config
+    from das_tpu.apis.inference import init_model
+    from das_tpu.apis.test import run_test
+    from das_tpu.datasets import build_dataset
+
+    cfg = Config.fromfile(args.config)
+    if args.cfg_options:
+        from tools.train import parse_cfg_options
+        cfg.merge_from_dict(parse_cfg_options(args.cfg_options))
+
+    model, variables, cfg = init_model(cfg, checkpoint=args.checkpoint,
+                                       dtype=jnp.bfloat16)
+    dataset = build_dataset(cfg.data['test'])
+    outputs = run_test(model, variables, dataset, cfg,
+                       batch_size=args.batch_size)
+    if args.out:
+        import pickle
+        with open(args.out, 'wb') as f:
+            pickle.dump(outputs, f)
+    results = dataset.evaluate(outputs, metric=args.eval)
+    for k, v in results.items():
+        print(k, v)
+
+
+if __name__ == '__main__':
+    main()
