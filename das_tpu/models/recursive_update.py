@@ -99,6 +99,74 @@ def _offset_sample(uvd: jnp.ndarray,
     return fused.reshape(N, H, W, J * D)
 
 
+class DepthSample(nn.Module):
+    """Multi-head deformable depth refinement (ref recursive_update.py:85-161).
+
+    Defined-but-unwired in the reference (DASHead never instantiates it);
+    kept for component parity. Samples the initial depth map at
+    ``num_heads`` learned offsets (optionally root-centred) and fuses with
+    softmax confidences.
+    """
+    num_heads: int
+    feat_channels: Optional[int] = None
+    norm_type: str = 'hw'
+    root_centered: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, feat: jnp.ndarray, init_depth: jnp.ndarray,
+                 stride: float, root_offset: Optional[jnp.ndarray] = None,
+                 train: bool = False) -> jnp.ndarray:
+        N, H, W, C = feat.shape
+        fc = self.feat_channels or C
+        identity = feat
+        upd = ConvModule(fc, 3, 1, 1, dcn=True,
+                         norm_cfg=dict(type='GN', num_groups=32),
+                         dtype=self.dtype,
+                         name='update_feat_conv')(feat, train)
+        if fc == C:
+            feat = identity + upd
+        else:
+            feat = upd
+
+        num_heads = self.num_heads
+        samp_off = nn.Conv(num_heads * 2, (1, 1), use_bias=False,
+                           kernel_init=nn.initializers.normal(1e-2),
+                           dtype=self.dtype, name='sample_conv')(feat)
+        conf = nn.Conv(1, (1, 1), use_bias=False, dtype=self.dtype,
+                       name='conf_conv')(feat)
+
+        xs = jnp.arange(W, dtype=jnp.float32)[None, None, :] + 0.5
+        ys = jnp.arange(H, dtype=jnp.float32)[None, :, None] + 0.5
+
+        if self.root_centered:
+            assert self.norm_type == 'hw' and root_offset is not None
+            num_heads = num_heads + 1
+            ro = jax.lax.stop_gradient(root_offset)          # (N,H,W,2)
+            rx = xs + ro[..., 0] - 0.5
+            ry = ys + ro[..., 1] - 0.5
+            off_from_root = sample_bilinear_abs(samp_off, rx, ry)
+            samp_off = jnp.concatenate(
+                [off_from_root, jnp.zeros_like(ro)], axis=-1) + \
+                jnp.tile(ro, (1, 1, 1, num_heads))
+
+        off = samp_off.reshape(N, H, W, num_heads, 2).astype(jnp.float32)
+        if self.norm_type == 'hw':
+            pass                                             # absolute px
+        elif self.norm_type == 'stride':
+            off = off * (jnp.asarray([W, H], jnp.float32) / stride)
+        else:
+            raise NotImplementedError(self.norm_type)
+
+        field = jnp.concatenate([init_depth, conf], axis=-1)  # (N,H,W,2)
+        sx = xs[..., None] + off[..., 0] - 0.5
+        sy = ys[..., None] + off[..., 1] - 0.5
+        sampled = sample_bilinear_abs(field, sx, sy)          # (N,H,W,h,2)
+        d, c = sampled[..., 0], sampled[..., 1]
+        w = jax.nn.softmax(c, axis=-1)
+        return (d * w).sum(-1, keepdims=True)
+
+
 class NextLevelOffset(nn.Module):
     """Gated offset update + proposal heads (ref recursive_update.py:164)."""
     num_joints: int
