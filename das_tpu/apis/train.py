@@ -53,7 +53,9 @@ def train_model(cfg: Config,
     J = int(cfg.model.bbox_head.num_joints)
     loader = TrainLoader(dataset, batch_size, pad_hw, J,
                          num_workers=int(cfg.data.get('workers_per_gpu', 4)),
-                         seed=seed)
+                         seed=seed,
+                         shard_id=jax.process_index(),
+                         num_shards=jax.process_count())
     steps_per_epoch = loader.steps_per_epoch
 
     # ---------------- model + state
@@ -119,6 +121,23 @@ def train_model(cfg: Config,
 
     total_epochs = int(runner_cfg.get('max_epochs', 22))
     total_steps = max_steps or total_epochs * steps_per_epoch
+    eval_interval = int((cfg.get('evaluation') or {}).get('interval', 0))
+    eval_dataset = None
+    if eval_interval and 'val' in cfg.data and \
+            cfg.data['val'].get('ann_file') and \
+            os.path.exists(cfg.data['val']['ann_file']):
+        eval_dataset = build_dataset(cfg.data['val'])
+
+    def run_eval(state):
+        """EvalHook equivalent (ref exp_panoptic.py:218)."""
+        from .test import run_test
+        eval_vars = dict(params=state.params,
+                         batch_stats=state.batch_stats)
+        outputs = run_test(model, eval_vars, eval_dataset, cfg,
+                           progress=False)
+        metrics = eval_dataset.evaluate(outputs)
+        logger.text(f'eval @ step {int(state.step)}: '
+                    + ', '.join(f'{k} {v}' for k, v in metrics.items()))
 
     # ---------------- loop
     t_last = time.perf_counter()
@@ -133,5 +152,9 @@ def train_model(cfg: Config,
         t_last = time.perf_counter()
         if step % steps_per_epoch == 0:
             manager.save(state, step)
+            epoch = step // steps_per_epoch
+            if eval_dataset is not None and eval_interval and \
+                    epoch % eval_interval == 0:
+                run_eval(state)
     manager.save(state, int(state.step))
     return state

@@ -30,6 +30,13 @@ from ..ops.oks_nms import default_sigmas, oks_nms_fixed
 from .targets import make_points
 
 
+def _use_pallas_default() -> bool:
+    try:
+        return jax.default_backend() not in ('cpu',)
+    except Exception:                                      # pragma: no cover
+        return False
+
+
 def decode_single_image(cls_scores: Sequence[jnp.ndarray],
                         pose_preds: Sequence[jnp.ndarray],
                         centernesses: Sequence[jnp.ndarray],
@@ -40,6 +47,7 @@ def decode_single_image(cls_scores: Sequence[jnp.ndarray],
                         nms_post: int = 100,
                         nms_thr: float = 0.9,
                         score_thr: float = 0.07,
+                        use_pallas: bool = None,
                         ) -> Dict[str, jnp.ndarray]:
     """Decode one image. Level tensors are (H, W, C); returns fixed-size
     arrays of nms_post candidates plus a validity mask."""
@@ -103,7 +111,13 @@ def decode_single_image(cls_scores: Sequence[jnp.ndarray],
     areas = (xy[..., 0].max(1) - xy[..., 0].min(1)) * \
             (xy[..., 1].max(1) - xy[..., 1].min(1))
     sig = default_sigmas(J)
-    keep = oks_nms_fixed(xy, nms_scores, areas, valid, nms_thr, sig)
+    if use_pallas is None:
+        use_pallas = _use_pallas_default()
+    if use_pallas:
+        from ..ops.pallas_nms import oks_nms_pallas
+        keep = oks_nms_pallas(xy, areas, valid, nms_thr, sig)
+    else:
+        keep = oks_nms_fixed(xy, nms_scores, areas, valid, nms_thr, sig)
 
     # compact kept candidates to the front, preserving score order
     gather = jnp.argsort(jnp.logical_not(keep), stable=True)[:nms_post]

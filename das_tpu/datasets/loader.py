@@ -51,7 +51,8 @@ class TrainLoader:
 
     def __init__(self, dataset, batch_size: int, pad_hw: Tuple[int, int],
                  num_joints: int, max_gt: int = 32, seed: int = 0,
-                 num_workers: int = 4, prefetch: int = 2):
+                 num_workers: int = 4, prefetch: int = 2,
+                 shard_id: int = 0, num_shards: int = 1):
         self.dataset = dataset
         self.batch_size = batch_size
         self.pad_hw = pad_hw
@@ -60,12 +61,18 @@ class TrainLoader:
         self.rng = np.random.RandomState(seed)
         self.pool = ThreadPoolExecutor(max_workers=num_workers)
         self.prefetch = prefetch
-        self.steps_per_epoch = max(len(dataset) // batch_size, 1)
+        # multi-host: every process draws the same shuffled order (same
+        # seed) and takes its interleaved shard — the TPU-native analogue
+        # of mmdet's DistributedGroupSampler (SURVEY.md §2.2)
+        self.shard_id = shard_id
+        self.num_shards = num_shards
+        self.steps_per_epoch = max(
+            len(dataset) // num_shards // batch_size, 1)
 
     def _epoch_order(self):
         order = np.arange(len(self.dataset))
         self.rng.shuffle(order)
-        return order
+        return order[self.shard_id::self.num_shards]
 
     def _load_one(self, idx: int):
         return self.dataset[int(idx)]

@@ -28,7 +28,7 @@ TINY_MODEL = dict(
         regress_ranges=((-1, 80), (80, 160), (160, 320), (320, 1e8)),
         num_joints=J, depth_factor=20, z_norm=50, root_idx=2,
         cls_branch=(32,), reg_branch=((32,), (32,), (32,), (32,)),
-        centerness_branch=(16,), conv_bias=True, dcn_on_last_conv=True,
+        centerness_branch=(32,), conv_bias=True, dcn_on_last_conv=True,
         recursive_update=dict(prev_loss=True, num_heads=2, in_channels=32,
                               feat_channels=32, num_layers=1, dim=3,
                               num_joints=J)),

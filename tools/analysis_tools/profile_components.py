@@ -13,11 +13,35 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..', '..'))
 
 
 def timed(fn, *args, iters=5):
+    """Time fn, perturbing the first array arg with the previous output so
+    the execution relay can't memoize identical dispatches."""
     import jax
+    import jax.numpy as jnp
     out = fn(*args)
     jax.block_until_ready(out)
+    args = list(args)
+
+    def perturb(tree, eps):
+        done = [False]
+
+        def fn_(x):
+            if not done[0] and hasattr(x, 'dtype') and \
+                    jnp.issubdtype(x.dtype, jnp.floating):
+                done[0] = True
+                return x + eps.astype(x.dtype)
+            return x
+        out_tree = jax.tree.map(fn_, tree)
+        return out_tree, done[0]
+
     t0 = time.perf_counter()
     for _ in range(iters):
+        leaf = jax.tree.leaves(out)[0]
+        eps = leaf.astype(jnp.float32).ravel()[0] * 1e-12
+        for i in range(len(args)):
+            new_arg, ok = perturb(args[i], eps)
+            if ok:
+                args[i] = new_arg
+                break
         out = fn(*args)
     jax.block_until_ready(out)
     return (time.perf_counter() - t0) / iters, out
