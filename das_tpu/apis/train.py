@@ -139,12 +139,17 @@ def train_model(cfg: Config,
         logger.text(f'eval @ step {int(state.step)}: '
                     + ', '.join(f'{k} {v}' for k, v in metrics.items()))
 
+    # ---------------- mesh placement (SPMD data parallelism)
+    from ..parallel.mesh import make_mesh, replicate, shard_batch
+    mesh = make_mesh()
+    state = replicate(state, mesh)
+
     # ---------------- loop
     t_last = time.perf_counter()
     for batch in loader:
         if int(state.step) >= total_steps:
             break
-        batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        batch = shard_batch(batch, mesh)
         state, metrics = step_fn(state, batch)
         step = int(state.step)
         logger.log(step, metrics, batch_size,

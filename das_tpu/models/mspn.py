@@ -231,6 +231,7 @@ class MSPN2(nn.Module):
     res_top_channels: int = 64
     frozen_stages: int = -1
     norm_eval: bool = False
+    remat: bool = False    # rematerialise stages under grad (mem <- FLOPs)
     dtype: Dtype = jnp.float32
     axis_name: Optional[str] = None
 
@@ -244,8 +245,11 @@ class MSPN2(nn.Module):
                       name='top')(x, top_train)
         skip1 = skip2 = None
         out_feats = []
+        stage_cls = SingleStageNetwork
+        if self.remat and train:
+            stage_cls = nn.remat(SingleStageNetwork, static_argnums=(3,))
         for i in range(self.num_stages):
-            stage = SingleStageNetwork(
+            stage = stage_cls(
                 has_skip=i != 0,
                 gen_skip=i != self.num_stages - 1,
                 gen_cross_conv=i != self.num_stages - 1,

@@ -7,8 +7,13 @@ goes further: the full pairwise similarity matrix is built tile-by-tile in
 VMEM and the greedy suppression scan runs entirely on-chip, so the decode
 needs no HBM round-trips per candidate.
 
-Layout: candidates are pre-sorted by score descending; joint coordinates
-arrive transposed as (J, M) so the M axis sits on the 128-wide lanes.
+Mosaic layout rules shape the implementation:
+* candidates sit on the sublane axis for row reads (``kpts_rows`` (M, J))
+  and on the lane axis for broadcast reads (``kpts_cols`` (J, M)),
+* dynamic slices only touch the sublane axis at ROW_TILE-aligned offsets,
+* the greedy scan processes ROW_TILE-aligned blocks with the in-block rows
+  unrolled statically (scalar VMEM stores are not supported, so keep-mask
+  updates are masked full-row writes).
 
 VMEM budget at M=1024, J=15: sim matrix 4 MB + coordinate planes < 6 MB.
 """
@@ -26,29 +31,29 @@ from jax.experimental.pallas import tpu as pltpu
 ROW_TILE = 8
 
 
-def _nms_kernel(xs_ref, ys_ref, areas_ref, valid_ref, keep_ref, sim_ref,
-                *, num_joints: int, thr: float, variances):
+def _nms_kernel(xs_rows_ref, ys_rows_ref, xs_cols_ref, ys_cols_ref,
+                areas_rows_ref, areas_cols_ref, valid_ref, keep_ref,
+                sim_ref, *, num_joints: int, thr: float, variances):
     """Single-program kernel: build sim (M, M), then greedy scan."""
-    M = xs_ref.shape[1]
+    M = xs_cols_ref.shape[1]
 
     # ---- pairwise OKS, ROW_TILE rows at a time --------------------------
-    areas = areas_ref[0, :]                                  # (M,)
     eps = np.spacing(1)
+    areas_cols = areas_cols_ref[0, :]                        # (M,)
 
     def sim_tile(t, _):
-        r0 = t * ROW_TILE
-        a_rows = areas_ref[0, pl.ds(r0, ROW_TILE)]           # (T,)
-        scale = (a_rows[:, None] + areas[None, :]) * 0.5 + eps
+        r0 = pl.multiple_of(t * ROW_TILE, ROW_TILE)
+        x_rows = xs_rows_ref[pl.ds(r0, ROW_TILE), :]         # (T, J)
+        y_rows = ys_rows_ref[pl.ds(r0, ROW_TILE), :]
+        a_rows = areas_rows_ref[pl.ds(r0, ROW_TILE), :]      # (T, 1)
+        scale = (a_rows + areas_cols[None, :]) * 0.5 + eps   # (T, M)
         acc = jnp.zeros((ROW_TILE, M), jnp.float32)
         for k in range(num_joints):
-            xk = xs_ref[k, :]                                # (M,)
-            yk = ys_ref[k, :]
-            x_rows = xs_ref[k, pl.ds(r0, ROW_TILE)]          # (T,)
-            y_rows = ys_ref[k, pl.ds(r0, ROW_TILE)]
-            d2 = (x_rows[:, None] - xk[None, :]) ** 2 + \
-                 (y_rows[:, None] - yk[None, :]) ** 2
-            e = d2 / (float(variances[k]) * 2.0) / scale
-            acc = acc + jnp.exp(-e)
+            xk = xs_cols_ref[k, :]                           # (M,)
+            yk = ys_cols_ref[k, :]
+            d2 = (x_rows[:, k][:, None] - xk[None, :]) ** 2 + \
+                 (y_rows[:, k][:, None] - yk[None, :]) ** 2
+            acc = acc + jnp.exp(-d2 / (float(variances[k]) * 2.0) / scale)
         sim_ref[pl.ds(r0, ROW_TILE), :] = acc / num_joints
         return 0
 
@@ -58,15 +63,21 @@ def _nms_kernel(xs_ref, ys_ref, areas_ref, valid_ref, keep_ref, sim_ref,
     keep_ref[0, :] = jnp.zeros((M,), jnp.float32)
     idx = jax.lax.broadcasted_iota(jnp.int32, (1, M), 1)[0]
 
-    def greedy(i, _):
-        row = sim_ref[pl.ds(i, 1), :][0]                     # (M,)
-        keep = keep_ref[0, :]
-        suppressed = ((idx < i) & (keep > 0.5) & (row > thr)).any()
-        ok = jnp.logical_not(suppressed) & (valid_ref[0, i] > 0.5)
-        keep_ref[0, i] = ok.astype(jnp.float32)
+    def greedy_block(t, _):
+        r0 = pl.multiple_of(t * ROW_TILE, ROW_TILE)
+        block = sim_ref[pl.ds(r0, ROW_TILE), :]              # (T, M)
+        for j in range(ROW_TILE):
+            i = r0 + j
+            row = block[j, :]                                # (M,)
+            keep = keep_ref[0, :]
+            suppressed = ((idx < i) & (keep > 0.5) & (row > thr)).any()
+            valid_i = jnp.where(idx == i, valid_ref[0, :], 0.0).max() > 0.5
+            ok = jnp.logical_not(suppressed) & valid_i
+            keep_ref[0, :] = jnp.where(idx == i, ok.astype(jnp.float32),
+                                       keep)
         return 0
 
-    jax.lax.fori_loop(0, M, greedy, 0)
+    jax.lax.fori_loop(0, M // ROW_TILE, greedy_block, 0)
 
 
 def oks_nms_pallas(kpts: jnp.ndarray,
@@ -84,15 +95,17 @@ def oks_nms_pallas(kpts: jnp.ndarray,
     Returns keep mask (M,) bool in the same order.
     """
     M, J, _ = kpts.shape
-    pad = (-M) % ROW_TILE
+    pad = (-M) % (ROW_TILE * 16)     # lane-friendly M (multiple of 128)
     if pad:
         kpts = jnp.pad(kpts, ((0, pad), (0, 0), (0, 0)))
         areas = jnp.pad(areas, (0, pad))
         valid = jnp.pad(valid, (0, pad))
     Mp = M + pad
 
-    xs = kpts[..., 0].T.astype(jnp.float32)                  # (J, Mp)
-    ys = kpts[..., 1].T.astype(jnp.float32)
+    xs_rows = kpts[..., 0].astype(jnp.float32)               # (Mp, J)
+    ys_rows = kpts[..., 1].astype(jnp.float32)
+    xs_cols = xs_rows.T                                      # (J, Mp)
+    ys_cols = ys_rows.T
     variances = tuple(((np.asarray(sigmas) * 2.0) ** 2).tolist())
 
     kernel = functools.partial(_nms_kernel, num_joints=J, thr=float(thr),
@@ -100,10 +113,12 @@ def oks_nms_pallas(kpts: jnp.ndarray,
     keep = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((1, Mp), jnp.float32),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 7,
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((Mp, Mp), jnp.float32)],
         interpret=interpret,
-    )(xs, ys, areas.astype(jnp.float32)[None, :],
+    )(xs_rows, ys_rows, xs_cols, ys_cols,
+      areas.astype(jnp.float32)[:, None],
+      areas.astype(jnp.float32)[None, :],
       valid.astype(jnp.float32)[None, :])
     return keep[0, :M] > 0.5

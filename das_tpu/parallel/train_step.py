@@ -73,10 +73,9 @@ def param_groups(params) -> Tuple[Any, Any]:
     """(lr_mult, wd_mult) trees mirroring mmcv DefaultOptimizerConstructor:
     non-norm bias params get bias_lr_mult / bias_decay_mult."""
     def mults(path, leaf):
-        p = _path_str(path)
-        is_norm = '/bn/' in p or '/gn/' in p or p.endswith('/bn') \
-            or p.endswith('/gn')
-        is_bias = p.endswith('/bias')
+        parts = _path_str(path).split('/')
+        is_norm = any(c in ('bn', 'gn') for c in parts[:-1])
+        is_bias = parts[-1] == 'bias'
         if is_bias and not is_norm:
             return (2.0, 0.0)
         return (1.0, 1.0)

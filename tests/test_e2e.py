@@ -16,7 +16,16 @@ from das_tpu.apis.test import run_test
 from das_tpu.datasets import build_dataset
 from das_tpu.models import build_model
 
-from test_model import TINY_MODEL, J
+import copy
+
+from test_model import TINY_MODEL
+
+# the Panoptic evaluator is 15-joint; clone the tiny model at J=15
+J = 15
+TINY15 = copy.deepcopy(TINY_MODEL)
+TINY15['bbox_head']['num_joints'] = J
+TINY15['bbox_head']['recursive_update']['num_joints'] = J
+TINY15['train_cfg'] = dict(code_weight=[1.0, 1.0, 1] + [2] * J * 6)
 
 IMG_H, IMG_W = 120, 160
 F = 200.0
@@ -74,7 +83,7 @@ def test_full_inference_to_evaluation(tmp_path):
              ])
     ]
     cfg = Config(dict(
-        model=TINY_MODEL,
+        model=TINY15,
         data=dict(test=dict(
             type='CMUPanopticDataset', ann_file=ann_path,
             img_prefix=tmpdir, pipeline=test_pipeline, test_mode=True,
