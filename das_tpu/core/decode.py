@@ -31,10 +31,10 @@ from .targets import make_points
 
 
 def _use_pallas_default() -> bool:
-    try:
-        return jax.default_backend() not in ('cpu',)
-    except Exception:                                      # pragma: no cover
-        return False
+    # Measured on v5e: the XLA fori-loop NMS runs the 1000-candidate decode
+    # in 0.66 ms; the Pallas kernel's per-candidate scalar reductions
+    # serialize to ~500 ms. XLA wins — keep it the default everywhere.
+    return False
 
 
 def decode_single_image(cls_scores: Sequence[jnp.ndarray],

@@ -1,11 +1,16 @@
-"""Pallas TPU kernel: fused pairwise-OKS + greedy NMS.
+"""Pallas TPU kernel: fused pairwise-OKS + greedy NMS. [EXPERIMENTAL]
 
 The reference runs greedy OKS-NMS as a host-side numpy O(N^2) loop
-(ref: mmdet3d/core/post_processing/pose_nms.py:92-126). The XLA fallback
-(das_tpu.ops.oks_nms.oks_nms_fixed) already keeps it on device; this kernel
-goes further: the full pairwise similarity matrix is built tile-by-tile in
-VMEM and the greedy suppression scan runs entirely on-chip, so the decode
-needs no HBM round-trips per candidate.
+(ref: mmdet3d/core/post_processing/pose_nms.py:92-126). This kernel builds
+the pairwise similarity matrix tile-by-tile in VMEM and runs the greedy
+suppression scan on-chip.
+
+STATUS: measured on v5e, the plain XLA formulation
+(das_tpu.ops.oks_nms.oks_nms_fixed, 0.66 ms at M=1000) beats this kernel
+(~500 ms) — the greedy scan's per-candidate cross-lane scalar reductions
+serialize badly in Mosaic. The XLA version is therefore the production
+default (core/decode.py); this kernel is kept as a correct, tested
+reference point for future blockwise-scan rework.
 
 Mosaic layout rules shape the implementation:
 * candidates sit on the sublane axis for row reads (``kpts_rows`` (M, J))
