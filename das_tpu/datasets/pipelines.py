@@ -26,6 +26,7 @@ import cv2
 import numpy as np
 
 from ..config.registry import PIPELINES, build_from_cfg
+from . import native
 
 
 class Compose:
@@ -145,8 +146,12 @@ class Resize:
         img = results['img']
         h, w = img.shape[:2]
         new_h, new_w = _rescale_size(h, w, results['scale'])
-        resized = cv2.resize(img, (new_w, new_h),
-                             interpolation=cv2.INTER_LINEAR)
+        if img.dtype == np.float32 and img.ndim == 3 and \
+                img.shape[2] == 3 and native.available():
+            resized = native.resize_bilinear(img, (new_h, new_w))
+        else:
+            resized = cv2.resize(img, (new_w, new_h),
+                                 interpolation=cv2.INTER_LINEAR)
         w_scale = new_w / w
         h_scale = new_h / h
         results['img'] = resized
@@ -361,9 +366,14 @@ class GlobalRotScaleTransPose:
 
         for key in input_dict.get('img_fields', ['img']):
             img = input_dict[key]
-            input_dict[key] = cv2.warpAffine(
-                img, trans, (int(w), int(h)), flags=cv2.INTER_LINEAR,
-                borderValue=self.img_mean)
+            if img.dtype == np.float32 and img.ndim == 3 and \
+                    img.shape[2] == 3 and native.available():
+                input_dict[key] = native.affine_warp(
+                    img, trans, (int(h), int(w)), self.img_mean)
+            else:
+                input_dict[key] = cv2.warpAffine(
+                    img, trans, (int(w), int(h)), flags=cv2.INTER_LINEAR,
+                    borderValue=self.img_mean)
 
         # warp centers + joints through the same affine
         joints = input_dict['gt_poses_3d'][:, :3 + J * 3].copy()
