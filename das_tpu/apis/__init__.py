@@ -1,6 +1,8 @@
-from .inference import init_model, make_predict_fn, results_to_host
+from .inference import (inference_detector, init_model, make_predict_fn,
+                        results_to_host)
 from .test import run_test
 from .train import train_model
 
-__all__ = ['init_model', 'make_predict_fn', 'results_to_host', 'run_test',
+__all__ = ['inference_detector', 'init_model', 'make_predict_fn',
+           'results_to_host', 'run_test',
            'train_model']

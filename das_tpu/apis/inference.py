@@ -58,6 +58,42 @@ def make_predict_fn(model: DAS, test_cfg: Dict, num_joints: int,
     return predict
 
 
+def inference_detector(model: DAS, variables, cfg, image,
+                       predict_fn=None) -> Dict:
+    """Single-image inference (ref: apis/inference.py:195
+    ``inference_mono_3d_detector``): runs the test pipeline on one image
+    path or array and returns the decoded people dict."""
+    import cv2
+
+    if isinstance(image, str):
+        img = cv2.imread(image, cv2.IMREAD_COLOR)
+        path = image
+    else:
+        img = image
+        path = '<array>'
+    h, w = img.shape[:2]
+    scale = (1333, 640)
+    ratio = min(max(scale) / max(h, w), min(scale) / min(h, w))
+    nh, nw = int(h * ratio + 0.5), int(w * ratio + 0.5)
+    resized = cv2.resize(img, (nw, nh),
+                         interpolation=cv2.INTER_LINEAR).astype(np.float32)
+    mean = np.array([123.675, 116.28, 103.53], np.float32)
+    std = np.array([58.395, 57.12, 57.375], np.float32)
+    norm = (resized[..., ::-1] - mean) / std
+    ph, pw = (nh + 31) // 32 * 32, (nw + 31) // 32 * 32
+    padded = np.zeros((ph, pw, 3), np.float32)
+    padded[:nh, :nw] = norm
+
+    head = cfg.model.bbox_head
+    if predict_fn is None:
+        predict_fn = make_predict_fn(model, dict(cfg.model.test_cfg),
+                                     int(head.num_joints),
+                                     tuple(head.strides))
+    sf = jnp.asarray([[nw / w, nh / h]], jnp.float32)
+    decoded = predict_fn(variables, jnp.asarray(padded)[None], sf)
+    return results_to_host(decoded, [path])[0]
+
+
 def results_to_host(decoded, image_paths: List[str]) -> List[Dict]:
     """Convert fixed-shape device output into the reference's per-image
     result dicts (ref das_head.py:680-687)."""

@@ -489,6 +489,30 @@ class Pad:
         return results
 
 
+@PIPELINES.register_module()
+class DefaultFormatBundlePose3D:
+    """Config-compat shim for the reference's tensor/DataContainer bundle
+    (ref formating.py:384-442). The TPU pipeline keeps numpy end-to-end
+    (batching happens in the loader), so this only normalises dtypes and
+    HWC layout — reference configs that include it keep working."""
+
+    def __init__(self, class_names=None, with_label=True, **kwargs):
+        self.class_names = class_names
+        self.with_label = with_label
+
+    def __call__(self, results):
+        if 'img' in results:
+            results['img'] = np.ascontiguousarray(
+                results['img'].astype(np.float32))
+        for key in ('gt_poses_3d', 'centers2d', 'depths'):
+            if key in results:
+                results[key] = np.asarray(results[key], np.float32)
+        for key in ('gt_labels', 'gt_labels_3d'):
+            if key in results:
+                results[key] = np.asarray(results[key], np.int64)
+        return results
+
+
 META_KEYS = ('filename', 'ori_shape', 'img_shape', 'pad_shape',
              'scale_factor', 'flip', 'cam', 'transform_mat', 'pcd_rot',
              'img_norm_cfg')
