@@ -30,7 +30,7 @@ def main():
     from das_tpu.core.decode import decode_batch
 
     H, W = 640, 1152          # Panoptic test bucket (1920x1080 * 0.593)
-    B = 8
+    B = 4
     cfg, model, variables = _build(img_hw=(H, W), dtype=jnp.bfloat16)
     head = cfg.model.bbox_head
     strides = tuple(head.strides)
