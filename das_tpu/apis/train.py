@@ -114,10 +114,15 @@ def train_model(cfg: Config,
     head = cfg.model.bbox_head
     featmap_sizes = [(pad_hw[0] // (4 * 2 ** i), pad_hw[1] // (4 * 2 ** i))
                      for i in range(4)]
+    # positive budget: ~9 center-sampled points per person per level;
+    # generous default scaled by batch, overridable via train_cfg.max_pos
+    max_pos = int((cfg.model.get('train_cfg') or {}).get(
+        'max_pos', 128 * batch_size))
     step_fn = make_train_step(
         model, tx_update, featmap_sizes, tuple(head.strides),
         tuple(tuple(r) for r in head.regress_ranges), J,
-        center_sample_radius=float(head.get('center_sample_radius', 1.5)))
+        center_sample_radius=float(head.get('center_sample_radius', 1.5)),
+        max_pos=max_pos)
 
     total_epochs = int(runner_cfg.get('max_epochs', 22))
     total_steps = max_steps or total_epochs * steps_per_epoch

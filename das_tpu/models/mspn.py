@@ -11,9 +11,11 @@ Differences from the reference are layout only (NHWC, functional flax);
 module names are chosen so the torch checkpoint bridge
 (das_tpu/checkpoint/torch_bridge.py) can map keys mechanically.
 
-Stage freezing (``frozen_stages``) is realised functionally: the train step
-zeroes gradients / stops updates for the frozen parameter subtree instead of
-mutating modules (see das_tpu/parallel/train_step.py).
+Stage freezing (``frozen_stages``) is realised functionally: the frozen
+stem/units run with norm-eval semantics here (running stats in forward, no
+stat updates) while the optimizer masks their parameter updates
+(das_tpu/parallel/train_step.py:mspn_frozen_prefixes) — together equivalent
+to the reference's ``_frozen_stage`` eval()+requires_grad_(False).
 """
 
 from __future__ import annotations
