@@ -224,6 +224,79 @@ def load_torch_checkpoint(variables: Dict[str, Any], path: str,
                                 allow_missing_prefixes=allow_missing_prefixes)
 
 
+def export_torch_state_dict(variables: Dict[str, Any]
+                            ) -> Dict[str, np.ndarray]:
+    """Inverse bridge: flax variable tree -> torch-layout state_dict.
+
+    Produces the reference's key naming and tensor layouts so weights
+    trained here load into the torch reference (or round-trip through
+    ``load_torch_checkpoint``). RealNVP masks (constant buffers) are
+    re-emitted since torch checkpoints carry them.
+    """
+    flat_p = _flatten(variables.get('params', {}))
+    flat_s = _flatten(variables.get('batch_stats', {}))
+
+    def to_torch_key(path, leaf):
+        name = '.'.join(path)
+        # flax auto-names: '<attr>_<i>' -> '<attr>.<i>', to fixpoint so
+        # nested list indices ('conv_reg_prevs_0_0') all convert
+        prev = None
+        while prev != name:
+            prev = name
+            name = re.sub(r'_(\d+)(?=[._]|$)', r'.\1', name, count=1)
+        # structural renames (inverse of _flax_path_for)
+        name = re.sub(r'^backbone\.stage(\d+)\.',
+                      r'backbone.multi_stage_mspn.\1.', name)
+        name = name.replace('.top.top_conv.', '.top.top.0.')
+        # recursive-update layers are torch-named 'layer_%d'
+        name = re.sub(r'recursive_update_branch\.layer\.(\d+)\.',
+                      r'recursive_update_branch.layer_\1.', name)
+        # bottleneck convK.conv/bn -> convK/bnK (not the ConvModule convs)
+        name = re.sub(r'\.conv([123])\.bn\.', r'.bn\1.', name)
+        name = re.sub(r'\.conv([123])\.conv\.', r'.conv\1.', name)
+        # flow sequential indices j -> 2j
+        m = re.match(r'^(bbox_head\.flow(?:3d|2d)(?:_update)?)'
+                     r'\.([st])\.(\d+)\.(\d+)\.(.*)$', name)
+        if m:
+            base, st, i, j, rest = m.groups()
+            name = f'{base}.{st}.{i}.{int(j) * 2}.{rest}'
+        return name
+
+    out: Dict[str, np.ndarray] = {}
+    for path, leaf in flat_p.items():
+        name = to_torch_key(path, leaf)
+        arr = np.asarray(leaf)
+        if path[-1] == 'kernel':
+            if arr.ndim == 4:
+                arr = arr.transpose(3, 2, 0, 1)       # HWIO -> OIHW
+                name = name[:-len('kernel')] + 'weight'
+            elif arr.ndim == 2:
+                arr = arr.transpose(1, 0)
+                name = name[:-len('kernel')] + 'weight'
+        elif path[-1] == 'scale' and arr.ndim == 1:
+            # norm gamma
+            name = name[:-len('scale')] + 'weight'
+        out[name] = arr
+    for path, leaf in flat_s.items():
+        name = to_torch_key(path, leaf)
+        arr = np.asarray(leaf)
+        if path[-1] == 'mean':
+            name = name[:-len('mean')] + 'running_mean'
+        elif path[-1] == 'var':
+            name = name[:-len('var')] + 'running_var'
+        out[name] = arr
+    return out
+
+
+def save_torch_checkpoint(variables: Dict[str, Any], path: str,
+                          meta: Dict = None):
+    """Write a torch-loadable .pth with the reference layout."""
+    import torch
+    sd = {k: torch.from_numpy(np.ascontiguousarray(v))
+          for k, v in export_torch_state_dict(variables).items()}
+    torch.save(dict(state_dict=sd, meta=meta or {}), path)
+
+
 def load_mspn_pretrained(variables: Dict[str, Any], path: str):
     """Load an MSPN COCO pretrained backbone into ``backbone/``
     (ref mspn_mmpose.py:669-680: strip 'backbone.' prefix, non-strict)."""

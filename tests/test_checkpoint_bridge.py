@@ -191,3 +191,27 @@ def test_bridge_full_coverage(panoptic_variables):
     f = np.asarray(
         new_vars['batch_stats']['backbone']['top']['top_conv']['bn']['mean'])
     np.testing.assert_allclose(f, t)
+
+
+def test_export_roundtrip(panoptic_variables):
+    """flax -> torch export -> bridge import must reproduce the tree."""
+    from das_tpu.checkpoint.torch_bridge import export_torch_state_dict
+
+    # materialise with real values (eval_shape gives ShapeDtypeStructs)
+    key_shapes = reference_torch_keys()
+    rng = np.random.RandomState(1)
+    sd0 = {k: np.asarray(rng.randn(*s), np.float32)
+           for k, s in key_shapes.items()}
+    params, stats, _ = convert_state_dict(sd0)
+    variables, _ = merge_into_variables(
+        dict(panoptic_variables), params, stats, strict=False)
+
+    sd1 = export_torch_state_dict(variables)
+    # every original key except dropped buffers must round-trip exactly
+    missing = [k for k in sd0
+               if k not in sd1 and not k.endswith('num_batches_tracked')
+               and not k.endswith('.mask')]
+    assert missing == [], missing[:8]
+    for k, v in sd1.items():
+        if k in sd0:
+            np.testing.assert_allclose(v, sd0[k], err_msg=k)
