@@ -99,8 +99,12 @@ class DASHead(nn.Module):
 
     def setup(self):
         norm_cfg = self.norm_cfg or dict(type='GN', num_groups=32)
+        # reference head init: Normal(std=0.01) on every Conv2d, with the
+        # cls conv's bias set to the focal prior
+        # (ref anchor_free_mono3d_pose_head.py:92-98, das_head.py:86-92)
+        init01 = nn.initializers.normal(0.01)
         kw = dict(norm_cfg=norm_cfg, bias=self.conv_bias, dtype=self.dtype,
-                  axis_name=self.axis_name)
+                  axis_name=self.axis_name, kernel_init=init01)
 
         def tower():
             mods = []
@@ -117,17 +121,24 @@ class DASHead(nn.Module):
         def branch(channels):
             return [ConvModule(c, 3, 1, 1, **kw) for c in channels]
 
+        bias_prob = 0.01
+        cls_bias = float(-math.log((1 - bias_prob) / bias_prob))
         self.conv_cls_prev = branch(self.cls_branch)
-        self.conv_cls = nn.Conv(self.num_classes, (1, 1), dtype=self.dtype)
+        self.conv_cls = nn.Conv(self.num_classes, (1, 1), dtype=self.dtype,
+                                kernel_init=init01,
+                                bias_init=nn.initializers.constant(cls_bias))
         self.conv_reg_prevs = [branch(self.reg_branch[i]) for i in range(2)]
         self.conv_regs = [nn.Conv(self.group_reg_dims[i], (1, 1),
+                                  kernel_init=init01,
                                   dtype=self.dtype) for i in range(2)]
         self.conv_pose_prevs = [branch(self.reg_branch[i])
                                 for i in range(2, 4)]
         self.conv_poses = [nn.Conv(self.group_reg_dims[i], (1, 1),
+                                   kernel_init=init01,
                                    dtype=self.dtype) for i in range(2, 4)]
         self.conv_centerness_prev = branch(self.centerness_branch)
-        self.conv_centerness = nn.Conv(1, (1, 1), dtype=self.dtype)
+        self.conv_centerness = nn.Conv(1, (1, 1), kernel_init=init01,
+                                       dtype=self.dtype)
         self.scales = [[Scale(1.0) for _ in range(4)] for _ in self.strides]
 
         ru = dict(self.recursive_update or {})

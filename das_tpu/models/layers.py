@@ -55,6 +55,7 @@ class DeformConv2d(nn.Module):
     kernel_size: int = 3
     padding: int = 1
     use_bias: bool = True
+    kernel_init: Any = None
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -72,7 +73,7 @@ class DeformConv2d(nn.Module):
         mask = nn.sigmoid(raw[..., 2 * kk:])
         cin = x.shape[-1]
         weight = self.param(
-            'kernel', nn.initializers.he_normal(),
+            'kernel', self.kernel_init or nn.initializers.he_normal(),
             (k, k, cin, self.features), jnp.float32)
         bias = self.param('bias', nn.initializers.zeros,
                           (self.features,), jnp.float32) \
@@ -88,6 +89,9 @@ class ConvModule(nn.Module):
     """conv -> norm -> act, matching mmcv ConvModule defaults.
 
     ``bias='auto'`` means bias iff there is no norm (mmcv behaviour).
+    ``kernel_init`` overrides the conv weight initializer (the reference
+    head initializes every Conv2d with Normal(std=0.01),
+    ref anchor_free_mono3d_pose_head.py:92-98).
     """
     features: int
     kernel_size: int = 3
@@ -97,6 +101,7 @@ class ConvModule(nn.Module):
     norm_cfg: Optional[dict] = None
     act: Optional[str] = 'relu'
     dcn: bool = False
+    kernel_init: Any = None
     dtype: Dtype = jnp.float32
     axis_name: Optional[str] = None
 
@@ -104,12 +109,14 @@ class ConvModule(nn.Module):
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         use_bias = (self.norm_cfg is None) if self.bias == 'auto' \
             else bool(self.bias)
+        kinit = self.kernel_init
         if self.dcn:
             assert self.stride == 1
             x = DeformConv2d(features=self.features,
                              kernel_size=self.kernel_size,
                              padding=self.padding,
                              use_bias=use_bias,
+                             kernel_init=kinit,
                              dtype=self.dtype,
                              name='conv')(x)
         else:
@@ -118,6 +125,8 @@ class ConvModule(nn.Module):
                         strides=(self.stride, self.stride),
                         padding=[(self.padding, self.padding)] * 2,
                         use_bias=use_bias,
+                        kernel_init=kinit or
+                        nn.linear.default_kernel_init,
                         dtype=self.dtype,
                         name='conv')(x)
         norm = make_norm(self.norm_cfg, 'bn' if (self.norm_cfg or {}).get(
