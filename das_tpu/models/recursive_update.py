@@ -76,24 +76,33 @@ def _offset_sample(uvd: jnp.ndarray,
     # (NJ, H, W, 2Hd, 2) candidate displacements
     samp_off = jnp.concatenate([off_from_target, off_from_source], axis=3)
 
-    # sample [uvd, conf] at each candidate location
+    # Sample [uvd, conf] at each candidate location with an ONLINE softmax
+    # over candidates: one candidate's gather + fusion at a time keeps the
+    # live set at (NJ, H, W, D) instead of (NJ, H, W, 2Hd, 2D) — the same
+    # memory treatment as the per-tap deform conv.
     feat = jnp.concatenate([uvd_j, conf_j], axis=-1)       # (NJ, H, W, 2D)
-    sx = xs[..., None] + samp_off[..., 0] - 0.5            # (NJ, H, W, 2Hd)
-    sy = ys[..., None] + samp_off[..., 1] - 0.5
-    sampled = sample_bilinear_abs(feat, sx, sy)            # (NJ,H,W,2Hd,2D)
-    samp_uvd, samp_conf = sampled[..., :D], sampled[..., D:]
-
-    # re-base sampled uvd to the source point (z displacement is 0)
-    if D == 3:
-        diff = jnp.concatenate(
-            [samp_off, jnp.zeros_like(samp_off[..., :1])], axis=-1)
-    else:
-        diff = samp_off
-    samp_uvd = samp_uvd + diff                             # (NJ,H,W,2Hd,D)
-
-    # per-dim softmax fusion over the 2*heads proposals
-    w = jax.nn.softmax(samp_conf, axis=3)
-    fused = (samp_uvd * w).sum(axis=3)                     # (NJ, H, W, D)
+    run_max = jnp.full((N * J, H, W, D), -jnp.inf, feat.dtype)
+    run_sum = jnp.zeros((N * J, H, W, D), feat.dtype)
+    run_acc = jnp.zeros((N * J, H, W, D), feat.dtype)
+    for c in range(2 * Hd):
+        off_c = samp_off[:, :, :, c, :]                    # (NJ, H, W, 2)
+        sx = xs + off_c[..., 0] - 0.5
+        sy = ys + off_c[..., 1] - 0.5
+        s = sample_bilinear_abs(feat, sx, sy)              # (NJ, H, W, 2D)
+        s_uvd, s_conf = s[..., :D], s[..., D:]
+        if D == 3:
+            diff = jnp.concatenate(
+                [off_c, jnp.zeros_like(off_c[..., :1])], axis=-1)
+        else:
+            diff = off_c
+        val = s_uvd + diff
+        new_max = jnp.maximum(run_max, s_conf)
+        corr = jnp.exp(run_max - new_max)
+        w = jnp.exp(s_conf - new_max)
+        run_sum = run_sum * corr + w
+        run_acc = run_acc * corr + w * val
+        run_max = new_max
+    fused = run_acc / run_sum                              # (NJ, H, W, D)
 
     fused = fused.reshape(N, J, H, W, D).transpose(0, 2, 3, 1, 4)
     return fused.reshape(N, H, W, J * D)
