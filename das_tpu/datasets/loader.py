@@ -82,22 +82,33 @@ class TrainLoader:
         stop = threading.Event()
 
         def producer():
-            while not stop.is_set():
-                order = self._epoch_order()
-                for start in range(0, len(order) - self.batch_size + 1,
-                                   self.batch_size):
-                    if stop.is_set():
-                        return
-                    idxs = order[start:start + self.batch_size]
-                    samples = list(self.pool.map(self._load_one, idxs))
-                    queue.put(pad_batch(samples, self.pad_hw, self.max_gt,
-                                        self.num_joints))
+            try:
+                while not stop.is_set():
+                    order = self._epoch_order()
+                    n = len(order)
+                    if n < self.batch_size:
+                        # tiny dataset/shard: sample with replacement
+                        order = np.concatenate(
+                            [order] * (self.batch_size // max(n, 1) + 1))
+                    for start in range(0, len(order) - self.batch_size + 1,
+                                       self.batch_size):
+                        if stop.is_set():
+                            return
+                        idxs = order[start:start + self.batch_size]
+                        samples = list(self.pool.map(self._load_one, idxs))
+                        queue.put(pad_batch(samples, self.pad_hw,
+                                            self.max_gt, self.num_joints))
+            except BaseException as e:   # propagate into the consumer
+                queue.put(e)
 
         thread = threading.Thread(target=producer, daemon=True)
         thread.start()
         try:
             while True:
-                yield queue.get()
+                item = queue.get()
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
         finally:
             stop.set()
 

@@ -14,7 +14,8 @@ import jax.numpy as jnp
 from das_tpu.config import Config
 from das_tpu.apis.train import train_model
 
-from test_model import TINY_MODEL, J
+from test_e2e import TINY15
+J = 15
 
 IMG_H, IMG_W = 80, 100
 
@@ -71,7 +72,7 @@ def test_train_model_api(tmp_path):
              num_joints=J),
     ]
     cfg = Config(dict(
-        model=TINY_MODEL,
+        model=TINY15,
         data=dict(samples_per_gpu=1, workers_per_gpu=2,
                   train=dict(type='CMUPanopticDataset', ann_file=ann,
                              img_prefix=tmpdir, pipeline=train_pipeline,
