@@ -9,10 +9,9 @@ checkpointed with orbax (replacing mmcv CheckpointHook).
 
 from __future__ import annotations
 
-import json
 import os
 import time
-from typing import Dict, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import json
 from collections import defaultdict
-from typing import Any, Dict, List
+from typing import Dict, List
 
 
 class CocoIndex:

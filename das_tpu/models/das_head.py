@@ -28,7 +28,7 @@ the flows); target assignment is a pure function in das_tpu/core/targets.py.
 from __future__ import annotations
 
 import math
-from typing import Any, Dict, List, Optional, Sequence, Tuple
+from typing import Any, Dict, Optional, Sequence, Tuple
 
 import flax.linen as nn
 import jax

@@ -12,12 +12,12 @@ reference configs keep working (ref: mmdet3d/models/builder.py:75).
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Sequence
+from typing import Any, Dict, Optional
 
 import flax.linen as nn
 import jax.numpy as jnp
 
-from ..config import ConfigDict, wrap_cfg
+from ..config import wrap_cfg
 from ..config.registry import BACKBONES, HEADS, MODELS, NECKS, build_from_cfg
 
 Dtype = Any

@@ -16,7 +16,7 @@ Norm semantics:
 
 from __future__ import annotations
 
-from typing import Any, Optional, Sequence, Tuple, Union
+from typing import Any, Optional, Union
 
 import flax.linen as nn
 import jax.numpy as jnp

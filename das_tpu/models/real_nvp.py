@@ -12,8 +12,6 @@ MXU matmuls. Loss-path numerics stay in float32.
 from __future__ import annotations
 
 import math
-from typing import Sequence
-
 import flax.linen as nn
 import jax.numpy as jnp
 import numpy as np

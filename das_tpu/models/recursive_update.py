@@ -19,7 +19,7 @@ TPU version samples at absolute pixel coordinates directly
 
 from __future__ import annotations
 
-from typing import Any, Optional, Tuple
+from typing import Any, Optional
 
 import flax.linen as nn
 import jax
