@@ -75,15 +75,24 @@ def load_occ(fname):
             for i in range(num_frames)]
 
 
-def norm_by_bone_length(pred, gt, parents, trav):
+def norm_by_bone_length(pred, gt, o1, trav):
     """Rescale each pred bone to the GT length (ref :480-489).
-    Poses are (3, J)."""
+    Poses are (3, J).
+
+    NOTE the reference pairs ``trav[i]`` with ``o1[i]`` by *loop position*
+    (``o1`` is the full 17-entry parent table while ``trav`` is the
+    16-entry ``safe_traversal_order[1:]``), NOT ``o1[trav[i]]``.  The
+    resulting parent pairs are not the anatomical skeleton, but they are
+    what defines the published 3DPCK metric, so we reproduce them exactly
+    (ref mupots_3dhp.py:480-489, call sites :549,:643,:651).
+    """
     out = pred.copy()
-    for idx in trav:
-        gt_len = np.linalg.norm(gt[:, idx] - gt[:, parents[idx]])
-        vec = pred[:, idx] - pred[:, parents[idx]]
+    for i in range(len(trav)):
+        idx = trav[i]
+        gt_len = np.linalg.norm(gt[:, idx] - gt[:, o1[i]])
+        vec = pred[:, idx] - pred[:, o1[i]]
         plen = np.linalg.norm(vec)
-        out[:, idx] = out[:, parents[idx]] + vec * gt_len / plen
+        out[:, idx] = out[:, o1[i]] + vec * gt_len / plen
     return out
 
 
@@ -144,18 +153,30 @@ def match_poses(gt_poses, pred_poses, threshold=250):
 
 def eval_sequence(args):
     """Evaluate one TS sequence; returns per-joint error lists
-    (ref eval_mupots_abs :569-682)."""
+    (ref eval_mupots_abs :569-682).
+
+    Returns ``(ts, pje, pje_abs, pje_align, occ)`` where ``pje``/``pje_abs``
+    are the root-relative / absolute per-joint errors the headline metric
+    uses, ``pje_align`` are the procrustes-aligned errors (collected by the
+    reference as ``pje_correct`` :661 but never surfaced), and ``occ`` the
+    per-pose occlusion labels from ``TS*/occlusion.mat`` (ref :585,:617)
+    or ``None`` when the file is absent.
+    """
     ts, annot_base, name2pred, eval_mode = args
     annots = load_annot(os.path.join(annot_base, f'TS{ts + 1}/annot.mat'))
+    occ_path = os.path.join(annot_base, f'TS{ts + 1}/occlusion.mat')
+    occlusions = load_occ(occ_path) if os.path.exists(occ_path) else None
     num_frames = len(annots[0])
     num_person = len(annots)
-    pje, pje_abs = [], []
+    pje, pje_abs, pje_align, occ_out = [], [], [], []
     for i in range(num_frames):
         valid = [k for k in range(num_person)
                  if annots[k][i]['is_valid'] == 1]
         if not valid:
             continue
         gt_p3d = [annots[k][i]['annot3'] for k in valid]
+        gt_occ = ([np.asarray(occlusions[i][k]).reshape(-1)
+                   for k in valid] if occlusions is not None else None)
         filename = f'TS{ts + 1}/img_{i:06d}.jpg'
         pred = name2pred.get(filename, np.zeros((1, 17, 3)))
         pred = np.asarray(pred).transpose(0, 2, 1)       # (P, 3, 17)
@@ -174,6 +195,7 @@ def eval_sequence(args):
                 p_rel = p_abs - p_root
                 depth_ratio = gt_abs[[2], [14]] / p_abs[[2], [14]]
                 p_rel[:2] = p_rel[:2] * depth_ratio
+                p_aligned = procrustes(p_rel, gt_rel)
                 p_rel = norm_by_bone_length(p_rel, gt_rel, PARENTS_O1,
                                             SAFE_TRAVERSAL[1:])
                 # absolute: same normalised pose re-rooted at pred root
@@ -184,28 +206,79 @@ def eval_sequence(args):
                 p_abs_final = p_for_abs + pred[m][:, 14:15]
                 considered = True
             else:
-                p_rel = p_abs_final = 100000 * np.ones(gt_rel.shape)
+                p_rel = p_abs_final = p_aligned = \
+                    100000 * np.ones(gt_rel.shape)
                 considered = eval_mode == 'all'
             if considered:
                 pje.append(np.sqrt(((p_rel - gt_rel) ** 2).sum(axis=0)))
                 pje_abs.append(np.sqrt(
                     ((p_abs_final - gt_abs) ** 2).sum(axis=0)))
-    return ts, pje, pje_abs
+                pje_align.append(np.sqrt(
+                    ((p_aligned - gt_rel) ** 2).sum(axis=0)))
+                if gt_occ is not None:
+                    occ_out.append(gt_occ[k])
+    return ts, pje, pje_abs, pje_align, (occ_out if occlusions is not None
+                                         else None)
+
+
+# thresholds of the reference PCK curve (ref mpii_compute_3d_pck :440-441)
+PCK_THRESHOLDS = np.arange(0, 200, 5)
+PCK_THRESH = 150
+
+
+def mpii_compute_3d_pck(seq_err):
+    """Per-sequence PCK curves / group PCK / AUC
+    (direct semantics of ref mpii_compute_3d_pck :436-473).
+
+    ``seq_err``: list (per sequence) of per-pose (17,) error arrays.
+    Returns ``(pck_curve_array, pck_array, auc_array)``:
+
+    * ``pck_curve_array[s][g][t]`` — PCK at threshold ``t`` for joint group
+      ``g`` (the last "group" is the all-joints total) in sequence ``s``,
+    * ``pck_array[s]`` — per-group PCK@150 + total as the last entry,
+    * ``auc_array[s][g]`` — mean of the per-group curve (groups only).
+
+    Empty sequences (no evaluated poses) yield zeros — the reference
+    crashes on that input, so any non-degenerate run is unaffected.
+    """
+    pck_curve_array, pck_array, auc_array = [], [], []
+    n_thresh = len(PCK_THRESHOLDS)
+    for errs in seq_err:
+        if len(errs) == 0:
+            pck_curve_array.append(
+                [[0.0] * n_thresh] * (len(JOINT_GROUPS) + 1))
+            pck_array.append([0.0] * (len(JOINT_GROUPS) + 1))
+            auc_array.append([0.0] * len(JOINT_GROUPS))
+            continue
+        err = np.asarray(errs, np.float32)
+        pck_curve, pck_seq, auc_seq = [], [], []
+        for _, joints in JOINT_GROUPS:
+            sel = err[:, joints]
+            buff = [float(np.float32(sel < t).sum() / len(joints) / len(err))
+                    for t in PCK_THRESHOLDS]
+            pck_curve.append(buff)
+            auc_seq.append(float(np.mean(buff)))
+            pck_seq.append(float(
+                np.float32(sel < PCK_THRESH).sum() / len(joints) / len(err)))
+        sel = err[:, ALL_GROUP_JOINTS]
+        pck_curve.append(
+            [float(np.float32(sel < t).sum() / len(err)
+                   / len(ALL_GROUP_JOINTS)) for t in PCK_THRESHOLDS])
+        pck_seq.append(float(np.float32(sel < PCK_THRESH).sum() / len(err)
+                             / len(ALL_GROUP_JOINTS)))
+        pck_curve_array.append(pck_curve)
+        pck_array.append(pck_seq)
+        auc_array.append(auc_seq)
+    return pck_curve_array, pck_array, auc_array
 
 
 def compute_pck(seq_errors, pck_thresh=150.0):
-    """3DPCK over joint groups (ref mpii_compute_3d_pck :436-473).
-    ``seq_errors`` is a list (per sequence) of per-pose (J,) error arrays.
-    Returns the per-sequence total-PCK list."""
-    pck_per_seq = []
-    for errs in seq_errors:
-        if len(errs) == 0:
-            continue
-        err = np.asarray(errs, np.float32)
-        pck = np.float32(err[:, ALL_GROUP_JOINTS] < pck_thresh).sum() / \
-            len(err) / len(ALL_GROUP_JOINTS)
-        pck_per_seq.append(pck)
-    return pck_per_seq
+    """Per-sequence total 3DPCK (last entry of each ``pck_array`` row,
+    ref :345-346 ``pck_mean = sum(i[-1] for i in pck_array)/len(pck_array)``).
+    Averages over ALL sequences, including empty ones (as 0.0)."""
+    assert pck_thresh == PCK_THRESH
+    _, pck_array, _ = mpii_compute_3d_pck(seq_errors)
+    return [row[-1] for row in pck_array]
 
 
 @DATASETS.register_module()
@@ -367,11 +440,49 @@ class MuPots3DHP(BasePoseDataset):
         else:
             results = [eval_sequence(t) for t in tasks]
         results.sort(key=lambda r: r[0])
-        pck = compute_pck([r[1] for r in results])
-        pck_abs = compute_pck([r[2] for r in results])
-        pck_mean = float(np.mean(pck)) if pck else 0.0
-        pck_mean_abs = float(np.mean(pck_abs)) if pck_abs else 0.0
-        return OrderedDict([
+
+        seq_err = [r[1] for r in results]
+        seq_err_abs = [r[2] for r in results]
+        _, pck_array, auc_array = mpii_compute_3d_pck(seq_err)
+        _, pck_array_abs, _ = mpii_compute_3d_pck(seq_err_abs)
+        # headline means over ALL 20 sequences (ref :345-346)
+        pck_mean = float(np.mean([row[-1] for row in pck_array]))
+        pck_mean_abs = float(np.mean([row[-1] for row in pck_array_abs]))
+
+        out = OrderedDict([
             ('PCK_MEAN:', f'{pck_mean * 100:.2f}'),
             ('PCK_MEAN_ABS:', f'{pck_mean_abs * 100:.2f}'),
             ('pck_mean', pck_mean), ('pck_mean_abs', pck_mean_abs)])
+
+        # extended surface: per-sequence table, per-group breakdown, AUC
+        # (collected by the reference's mpii_compute_3d_pck :436-473 but
+        # only the two means are printed; we surface all of it).
+        for s, row in enumerate(pck_array):
+            out[f'pck_TS{s + 1}'] = float(row[-1])
+        group_names = [name for name, _ in JOINT_GROUPS]
+        per_group = np.asarray(pck_array, np.float64)[:, :-1].mean(axis=0)
+        for name, val in zip(group_names, per_group):
+            out[f'pck_{name}'] = float(val)
+        out['auc_mean'] = float(np.mean(
+            [np.mean(row) for row in auc_array]))
+
+        # occlusion split: PCK@150 over occluded vs visible joints, using
+        # TS*/occlusion.mat labels (loaded by ref :585, never surfaced).
+        occ_avail = all(r[4] is not None for r in results)
+        if occ_avail:
+            n_occ = n_occ_ok = n_vis = n_vis_ok = 0
+            for r in results:
+                for err, occ in zip(r[1], r[4]):
+                    occ = np.asarray(occ).reshape(-1).astype(bool)
+                    j = min(len(occ), len(err))
+                    sel = [g for g in ALL_GROUP_JOINTS if g < j]
+                    o, e = occ[sel], np.asarray(err)[sel]
+                    n_occ += int(o.sum())
+                    n_occ_ok += int((e[o] < PCK_THRESH).sum())
+                    n_vis += int((~o).sum())
+                    n_vis_ok += int((e[~o] < PCK_THRESH).sum())
+            if n_occ:
+                out['pck_occluded'] = n_occ_ok / n_occ
+            if n_vis:
+                out['pck_visible'] = n_vis_ok / n_vis
+        return out
