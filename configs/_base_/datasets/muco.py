@@ -14,6 +14,7 @@ test_pipeline = [
     dict(type='LoadAnnotationsPose3D', with_pose_3d=True,
          with_label_3d=False),
     dict(type='MultiScaleFlipAug',
+         flip_pairs=((2, 5), (3, 6), (4, 7), (8, 11), (9, 12), (10, 13), (17, 18), (19, 20)),
          img_scale=(1280, 768),
          flip=False,
          transforms=[

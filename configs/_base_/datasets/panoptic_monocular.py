@@ -48,6 +48,7 @@ test_pipeline = [
     dict(type='LoadAnnotationsPose3D', with_pose_3d=True,
          with_label_3d=False),
     dict(type='MultiScaleFlipAug',
+         flip_pairs=[[3, 9], [4, 10], [5, 11], [6, 12], [7, 13], [8, 14]],
          img_scale=(1333, 640),
          flip=False,
          transforms=[

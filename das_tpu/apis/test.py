@@ -21,51 +21,121 @@ import numpy as np
 from .inference import make_predict_fn, results_to_host
 
 
-def _sample_arrays(sample: Dict) -> Dict:
-    """Unwrap a MultiScaleFlipAug sample (lists of len 1)."""
-    out = {}
-    for k, v in sample.items():
-        out[k] = v[0] if isinstance(v, list) else v
+def _sample_views(sample: Dict) -> List[Dict]:
+    """Split a MultiScaleFlipAug sample (dict of per-view lists) into one
+    dict per augmented view (direct first, flipped second)."""
+    n_views = max(len(v) for v in sample.values()
+                  if isinstance(v, list)) if any(
+        isinstance(v, list) for v in sample.values()) else 1
+    views = []
+    for i in range(n_views):
+        views.append({k: (v[i] if isinstance(v, list) else v)
+                      for k, v in sample.items()})
+    return views
+
+
+def _unflip_result(res: Dict, ori_w: int, flip_pairs) -> Dict:
+    """Mirror a decoded result back to direct-view coordinates:
+    x -> (W - 1 - x) in original-image pixels, swap left/right joints."""
+    poses = np.array(res['poses'], np.float32, copy=True)
+    centers = np.array(res['centers'], np.float32, copy=True)
+    poses[..., 0] = ori_w - 1 - poses[..., 0]
+    centers[..., 0] = ori_w - 1 - centers[..., 0]
+    for a, b in (flip_pairs or []):
+        poses[:, [a, b]] = poses[:, [b, a]]
+    out = dict(res)
+    out['poses'], out['centers'] = poses, centers
+    return out
+
+
+def merge_flip_results(direct: Dict, flipped: Dict,
+                       match_frac: float = 0.5) -> Dict:
+    """Average a direct-view result with an (already unflipped) flipped
+    view. People are greedily matched by root xy distance; a pair matches
+    when the distance is below ``match_frac`` x the direct person's pose
+    extent. Unmatched direct people are kept as-is (the direct view is
+    authoritative for detection; flip only refines coordinates)."""
+    dp = np.asarray(direct['poses'], np.float32)
+    fp = np.asarray(flipped['poses'], np.float32)
+    if len(dp) == 0 or len(fp) == 0:
+        return direct
+    out_poses = dp.copy()
+    out_centers = np.asarray(direct['centers'], np.float32).copy()
+    fc = np.asarray(flipped['centers'], np.float32)
+    used = np.zeros(len(fp), bool)
+    for i in range(len(dp)):
+        extent = max(np.ptp(dp[i, :, 0]), np.ptp(dp[i, :, 1]), 1.0)
+        d = np.linalg.norm(fc[:, :2] - out_centers[i, None, :2], axis=-1)
+        d = np.where(used, np.inf, d)
+        j = int(np.argmin(d))
+        if d[j] < match_frac * extent:
+            used[j] = True
+            out_poses[i] = 0.5 * (dp[i] + fp[j])
+            out_centers[i] = 0.5 * (out_centers[i] + fc[j])
+    out = dict(direct)
+    out['poses'], out['centers'] = out_poses, out_centers
     return out
 
 
 def _sweep(model, variables, get_sample, n: int, cfg, batch_size: int,
            progress: bool) -> List[Dict]:
-    """Single-process sweep over samples ``get_sample(0..n-1)``."""
+    """Single-process sweep over samples ``get_sample(0..n-1)``.
+
+    Each dataset item may carry 1 view (direct) or 2 (direct + flipped,
+    ``MultiScaleFlipAug(flip=True)``); all views are batched through the
+    same resolution buckets and flip-averaged after decode."""
     head_cfg = cfg.model.bbox_head
     predict = make_predict_fn(model, dict(cfg.model.test_cfg),
                               int(head_cfg.num_joints),
                               tuple(head_cfg.strides))
 
     buckets = defaultdict(list)
-    samples = []
+    views = []                  # flat list of view dicts
+    view_of = []                # per dataset idx: list of flat positions
     for idx in range(n):
-        s = _sample_arrays(get_sample(idx))
-        samples.append(s)
-        buckets[s['img'].shape].append(idx)
+        vs = _sample_views(get_sample(idx))
+        view_of.append([])
+        for v in vs:
+            view_of[idx].append(len(views))
+            buckets[v['img'].shape].append(len(views))
+            views.append(v)
 
-    results: List[Any] = [None] * n
+    decoded_all: List[Any] = [None] * len(views)
     done = 0
     for shape, idxs in buckets.items():
         for start in range(0, len(idxs), batch_size):
             chunk = idxs[start:start + batch_size]
             # pad the last batch to full size to avoid a recompile
             batch_idx = chunk + [chunk[-1]] * (batch_size - len(chunk))
-            imgs = np.stack([samples[i]['img'] for i in batch_idx])
+            imgs = np.stack([views[i]['img'] for i in batch_idx])
             sfs = np.stack([np.asarray(
-                samples[i]['img_metas']['scale_factor'][:2], np.float32)
+                views[i]['img_metas']['scale_factor'][:2], np.float32)
                 for i in batch_idx])
             decoded = predict(variables, imgs, sfs)
-            paths = [samples[i]['img_metas']['filename']
+            paths = [views[i]['img_metas']['filename']
                      for i in batch_idx]
             outs = results_to_host(decoded, paths)
             for j, i in enumerate(chunk):
-                results[i] = outs[j]
+                decoded_all[i] = outs[j]
             done += len(chunk)
             if progress:
-                print(f'\r[das_tpu] test {done}/{n}', end='', flush=True)
+                print(f'\r[das_tpu] test {done}/{len(views)}',
+                      end='', flush=True)
     if progress:
         print()
+
+    results: List[Any] = [None] * n
+    for idx in range(n):
+        pos = view_of[idx]
+        direct = decoded_all[pos[0]]
+        if len(pos) == 1:
+            results[idx] = direct
+            continue
+        meta = views[pos[1]]['img_metas']
+        ori_w = int(meta['ori_shape'][1])
+        flipped = _unflip_result(decoded_all[pos[1]], ori_w,
+                                 meta.get('flip_pairs'))
+        results[idx] = merge_flip_results(direct, flipped)
     return results
 
 

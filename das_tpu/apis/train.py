@@ -105,6 +105,18 @@ def train_model(cfg: Config,
         os.path.join(work_dir, 'ckpts'),
         max_keep=int(cfg.get('checkpoint_config', {}).get(
             'max_keep_ckpts', 20)))
+    # checkpoint meta (ref tools/train.py:200-210: version + config text +
+    # CLASSES embedded in every checkpoint); one sidecar per run dir
+    import json as _json
+    import time as _time
+    from .. import __version__
+    classes = getattr(dataset, 'CLASSES', None)
+    with open(os.path.join(work_dir, 'ckpts', 'meta.json'), 'w') as f:
+        _json.dump(dict(
+            das_tpu_version=__version__,
+            time=_time.asctime(),
+            CLASSES=list(classes) if classes else None,
+            config=cfg.dump()), f, indent=1)
     if resume_from:
         state = manager.restore(state, resume_from)
         logger.text(f'resumed from {resume_from} at step '

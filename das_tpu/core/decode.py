@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.oks_nms import default_sigmas, oks_nms_fixed
+from ..ops.oks_nms import default_sigmas, oks_nms_fixed, soft_oks_nms_fixed
 from .targets import make_points
 
 
@@ -47,6 +47,7 @@ def decode_single_image(cls_scores: Sequence[jnp.ndarray],
                         nms_post: int = 100,
                         nms_thr: float = 0.9,
                         score_thr: float = 0.07,
+                        nms_type: str = 'hard',
                         use_pallas: bool = None,
                         ) -> Dict[str, jnp.ndarray]:
     """Decode one image. Level tensors are (H, W, C); returns fixed-size
@@ -102,8 +103,10 @@ def decode_single_image(cls_scores: Sequence[jnp.ndarray],
     centers = centers[order]
     valid = valid[order]
 
-    # cap candidates entering NMS at nms_pre (sorted, so the best survive)
-    M = min(nms_pre, nms_scores.shape[0])
+    # reference parity: every above-threshold candidate from every level
+    # enters NMS (up to nms_pre per level, ref das_head.py:763-783). The
+    # nms_pre * num_levels bound only truncates degenerate configs.
+    M = min(nms_pre * len(cls_scores), nms_scores.shape[0])
     nms_scores, poses, centers, valid = \
         nms_scores[:M], poses[:M], centers[:M], valid[:M]
 
@@ -111,17 +114,26 @@ def decode_single_image(cls_scores: Sequence[jnp.ndarray],
     areas = (xy[..., 0].max(1) - xy[..., 0].min(1)) * \
             (xy[..., 1].max(1) - xy[..., 1].min(1))
     sig = default_sigmas(J)
-    if use_pallas is None:
-        use_pallas = _use_pallas_default()
-    if use_pallas:
-        from ..ops.pallas_nms import oks_nms_pallas
-        keep = oks_nms_pallas(xy, areas, valid, nms_thr, sig)
+    if nms_type == 'soft':
+        # gaussian rescoring; output in selection order with the ORIGINAL
+        # scores, like the reference (das_head.py:790-794)
+        gather, out_valid = soft_oks_nms_fixed(
+            xy, nms_scores, areas, valid, nms_thr, nms_post, sig)
     else:
-        keep = oks_nms_fixed(xy, nms_scores, areas, valid, nms_thr, sig)
-
-    # compact kept candidates to the front, preserving score order
-    gather = jnp.argsort(jnp.logical_not(keep), stable=True)[:nms_post]
-    out_valid = keep[gather]
+        if nms_type != 'hard':
+            raise ValueError(f'unsupported nms_type {nms_type!r} '
+                             "(expected 'hard' or 'soft')")
+        if use_pallas is None:
+            use_pallas = _use_pallas_default()
+        if use_pallas:
+            from ..ops.pallas_nms import oks_nms_pallas
+            keep = oks_nms_pallas(xy, areas, valid, nms_thr, sig)
+        else:
+            keep = oks_nms_fixed(xy, nms_scores, areas, valid, nms_thr,
+                                 sig)
+        # compact kept candidates to the front, preserving score order
+        gather = jnp.argsort(jnp.logical_not(keep), stable=True)[:nms_post]
+        out_valid = keep[gather]
     return dict(
         scores=jnp.where(out_valid, nms_scores[gather], 0.0),
         poses=poses[gather],
@@ -147,7 +159,8 @@ def decode_batch(cls_scores, pose_preds, centernesses, strides,
         nms_pre=int(test_cfg.get('nms_pre', 1000)),
         nms_post=int(test_cfg.get('nms_post', 100)),
         nms_thr=float(test_cfg.get('nms_thr', 0.9)),
-        score_thr=float(test_cfg.get('score_thr', 0.07)))
+        score_thr=float(test_cfg.get('score_thr', 0.07)),
+        nms_type=str(test_cfg.get('nms_type', 'hard')))
 
     # a list of per-level arrays is a pytree; vmap maps axis 0 of each leaf
     return jax.vmap(lambda c, p, t, s: fn(c, p, t, points, s))(

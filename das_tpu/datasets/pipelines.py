@@ -514,8 +514,8 @@ class DefaultFormatBundlePose3D:
 
 
 META_KEYS = ('filename', 'ori_shape', 'img_shape', 'pad_shape',
-             'scale_factor', 'flip', 'cam', 'transform_mat', 'pcd_rot',
-             'img_norm_cfg')
+             'scale_factor', 'flip', 'flip_pairs', 'cam', 'transform_mat',
+             'pcd_rot', 'img_norm_cfg')
 
 
 @PIPELINES.register_module()
@@ -540,15 +540,30 @@ class Collect3D:
 @PIPELINES.register_module()
 class MultiScaleFlipAug:
     """Test-time wrapper; the DAS configs use a single scale and
-    flip=False, optionally flip=True for flip-test averaging."""
+    flip=False, optionally flip=True for flip-test averaging.
 
-    def __init__(self, transforms, img_scale, flip=False, **kwargs):
+    With ``flip=True`` the second view's raw image is mirrored
+    horizontally *before* the transforms run (so resize keeps ratio and
+    padding stays on the right in both views); ``apis/test.py`` unflips
+    the decoded predictions about the original width and averages them
+    with the direct view, swapping ``flip_pairs`` joints. (The reference
+    ships flip=False and its ``aug_test`` raises NotImplementedError —
+    das.py:41-43 — this implements the full path.)
+    """
+
+    def __init__(self, transforms, img_scale, flip=False,
+                 flip_pairs=None, **kwargs):
         self.transforms = Compose(transforms)
         self.img_scale = [tuple(img_scale)] if isinstance(
             img_scale, (tuple, list)) and not isinstance(
                 img_scale[0], (tuple, list)) else [tuple(s)
                                                   for s in img_scale]
         self.flip = flip
+        self.flip_pairs = [list(p) for p in (flip_pairs or [])]
+        # flip the raw image ourselves unless a flip transform will
+        self._has_flip_transform = any(
+            isinstance(t, RandomFlipPose3D)
+            for t in self.transforms.transforms)
 
     def __call__(self, results):
         aug_data = []
@@ -558,6 +573,10 @@ class MultiScaleFlipAug:
                 _results = dict(results)
                 _results['scale'] = scale
                 _results['flip'] = f
+                _results['flip_pairs'] = self.flip_pairs
+                if f and not self._has_flip_transform:
+                    _results['img'] = np.ascontiguousarray(
+                        np.flip(_results['img'], axis=1))
                 data = self.transforms(_results)
                 if data is not None:
                     aug_data.append(data)

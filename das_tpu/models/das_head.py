@@ -360,4 +360,9 @@ class DASHead(nn.Module):
         return dict(loss_cls=loss_cls,
                     loss_depth=loss_depth * has_pos,
                     loss_pose=loss_pose * has_pos,
-                    loss_centerness=loss_ctr * has_pos)
+                    loss_centerness=loss_ctr * has_pos,
+                    # positives silently dropped by the fixed max_pos
+                    # gather (0 when the budget is large enough); surfaced
+                    # as a train metric so truncation is observable
+                    pos_overflow=jnp.maximum(
+                        num_pos - k, 0).astype(jnp.float32))

@@ -77,6 +77,41 @@ def oks_nms_fixed(kpts: jnp.ndarray,
     return jax.lax.fori_loop(0, M, body, keep0)
 
 
+def soft_oks_nms_fixed(kpts: jnp.ndarray,
+                       scores: jnp.ndarray,
+                       areas: jnp.ndarray,
+                       valid: jnp.ndarray,
+                       thr: float,
+                       max_dets: int,
+                       sigmas: np.ndarray):
+    """Soft OKS-NMS with gaussian rescoring, fixed shapes (jit-able).
+
+    Reformulates the reference's ``soft_oks_nms`` (ref pose_nms.py:153-195):
+    each of ``max_dets`` rounds picks the argmax of the (iteratively
+    decayed) scores, then decays every remaining candidate by
+    ``exp(-oks^2 / thr)`` against the pick. Returns
+    ``(gather_idx (max_dets,), out_valid (max_dets,))`` in selection
+    order — the caller indexes the ORIGINAL scores with ``gather_idx``
+    exactly like the reference (das_head.py:790-794).
+    """
+    sim = oks_matrix(kpts, areas, jnp.asarray(sigmas, kpts.dtype))
+    s0 = jnp.where(valid, scores.astype(jnp.float32), -jnp.inf)
+    order0 = jnp.full((max_dets,), -1, jnp.int32)
+
+    def body(k, carry):
+        s, order = carry
+        i = jnp.argmax(s)
+        ok = s[i] > -jnp.inf
+        order = order.at[k].set(jnp.where(ok, i.astype(jnp.int32), -1))
+        s = s * jnp.exp(-(sim[i] ** 2) / thr)
+        s = s.at[i].set(-jnp.inf)
+        return s, order
+
+    _, order = jax.lax.fori_loop(0, max_dets, body, (s0, order0))
+    out_valid = order >= 0
+    return jnp.where(out_valid, order, 0), out_valid
+
+
 # ------------------------------------------------------------------- numpy
 
 def oks_iou_np(g, d, a_g, a_d, sigmas=None):

@@ -173,7 +173,10 @@ def make_train_step(model,
             dict(params=params, batch_stats=batch_stats),
             batch['img'], targets, max_pos,
             method=type(model).loss, mutable=['batch_stats'])
-        total = sum(losses.values())
+        # mmcv convention (ref mmdet BaseDetector._parse_losses): only
+        # 'loss*' keys are optimized; others (pos_overflow, ...) are
+        # carried as metrics
+        total = sum(v for k, v in losses.items() if 'loss' in k)
         return total, (losses, mutated['batch_stats'])
 
     def train_step(state: TrainState, batch):

@@ -1,6 +1,6 @@
 """Metric logging (replaces mmcv TextLoggerHook + TensorboardLoggerHook,
 ref configs/_base_/default_runtime.py:5-10): text log + a jsonl metrics
-stream consumable by any dashboard."""
+stream + native TensorBoard event files (utils/tb_events.py)."""
 
 from __future__ import annotations
 
@@ -30,7 +30,8 @@ def get_root_logger(log_file=None, level=logging.INFO):
 
 
 class MetricLogger:
-    def __init__(self, work_dir: str, interval: int = 50):
+    def __init__(self, work_dir: str, interval: int = 50,
+                 tensorboard: bool = True):
         os.makedirs(work_dir, exist_ok=True)
         stamp = time.strftime('%Y%m%d_%H%M%S')
         self.logger = get_root_logger(
@@ -38,6 +39,10 @@ class MetricLogger:
         self.jsonl = open(os.path.join(work_dir, f'{stamp}.metrics.jsonl'),
                           'a')
         self.interval = interval
+        self.tb = None
+        if tensorboard:
+            from .tb_events import EventWriter
+            self.tb = EventWriter(os.path.join(work_dir, 'tf_logs'))
 
     def text(self, msg: str):
         self.logger.info(msg)
@@ -49,6 +54,10 @@ class MetricLogger:
         vals.update(step=step, img_per_s=batch_size / max(dt, 1e-9))
         self.jsonl.write(json.dumps(vals) + '\n')
         self.jsonl.flush()
+        if self.tb is not None:
+            self.tb.add_scalars(
+                step, {f'train/{k}': v for k, v in vals.items()
+                       if k != 'step'})
         parts = ', '.join(f'{k}: {v:.4f}' for k, v in vals.items()
                           if k != 'step')
         self.logger.info(f'step {step}: {parts}')

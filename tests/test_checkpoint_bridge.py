@@ -10,6 +10,8 @@ das_tpu flax tree with zero missing and zero unexpected leaves.
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 import jax
 import jax.numpy as jnp
 

@@ -5,6 +5,9 @@ residual_log_likelihood_loss.py:18-37)."""
 import math
 
 import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow
 import torch
 import torch.nn as nn
 

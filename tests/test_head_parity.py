@@ -10,6 +10,8 @@ multi-head offset re-sampling."""
 
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow
 import torch
 import torch.nn as nn
 import torch.nn.functional as F

@@ -4,6 +4,8 @@
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 import jax
 import jax.numpy as jnp
 
@@ -116,7 +118,7 @@ def test_loss_grads_nonzero(tiny_model):
             dict(params=params, batch_stats=variables['batch_stats']),
             batch['img'], targets, 64, method=type(model).loss,
             mutable=['batch_stats'])
-        return sum(losses.values())
+        return sum(v for k, v in losses.items() if 'loss' in k)
 
     grads = jax.grad(loss_fn)(variables['params'])
     gnorm = float(jnp.sqrt(sum(
@@ -148,3 +150,37 @@ def test_config_build_all():
             lambda m=model, i=img: m.init_all(jax.random.PRNGKey(0), i))
         n_leaves = len(jax.tree.leaves(variables))
         assert n_leaves > 400, path
+
+
+def test_fuse_conv_bn_preserves_eval_outputs(tiny_model):
+    """--fuse-conv-bn (ref tools/test.py:175-176): folding BN into convs
+    must not change eval-mode outputs."""
+    from das_tpu.models.fuse import fuse_conv_bn
+
+    model, variables = tiny_model
+    rng = np.random.RandomState(5)
+
+    # randomize BN running stats so the fold is non-trivial
+    def randomize(tree):
+        if hasattr(tree, 'keys'):
+            return {k: (np.abs(rng.randn(*np.shape(v)) * 0.5 + 1.0)
+                        .astype(np.float32)
+                        if k == 'var' else
+                        rng.randn(*np.shape(v)).astype(np.float32) * 0.3
+                        if k == 'mean' else randomize(v))
+                    for k, v in tree.items()}
+        return tree
+
+    variables = dict(variables)
+    variables['batch_stats'] = randomize(variables['batch_stats'])
+
+    img = jnp.asarray(rng.randn(2, *HW, 3), jnp.float32)
+    ref = model.apply(variables, img, train=False)
+
+    fused, n = fuse_conv_bn(variables)
+    assert n > 10, f'expected many conv+bn pairs, fused {n}'
+    got = model.apply(fused, img, train=False)
+
+    for r, g in zip(jax.tree.leaves(ref), jax.tree.leaves(got)):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   rtol=2e-4, atol=2e-4)

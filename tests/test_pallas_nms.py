@@ -2,6 +2,9 @@
 the CPU test backend)."""
 
 import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow
 
 import jax.numpy as jnp
 

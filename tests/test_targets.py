@@ -2,6 +2,9 @@
 (semantics of das_head.py:551-651)."""
 
 import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow
 
 import jax.numpy as jnp
 

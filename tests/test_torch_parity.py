@@ -10,6 +10,8 @@ calls for, minus the unavailable released checkpoint.
 
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow
 import torch
 import torch.nn as nn
 import torch.nn.functional as F

@@ -22,6 +22,9 @@ def main():
     parser.add_argument('--out', default=None,
                         help='pickle the raw outputs here')
     parser.add_argument('--cfg-options', nargs='+', default=None)
+    parser.add_argument('--fuse-conv-bn', action='store_true',
+                        help='fold BN into convs before inference '
+                             '(ref tools/test.py:175-176)')
     args = parser.parse_args()
 
     import jax
@@ -40,6 +43,10 @@ def main():
 
     model, variables, cfg = init_model(cfg, checkpoint=args.checkpoint,
                                        dtype=jnp.bfloat16)
+    if args.fuse_conv_bn:
+        from das_tpu.models.fuse import fuse_conv_bn
+        variables, n = fuse_conv_bn(variables)
+        print(f'[das_tpu] fused {n} conv+bn pairs')
     dataset = build_dataset(cfg.data['test'])
     outputs = run_test(model, variables, dataset, cfg,
                        batch_size=args.batch_size)
