@@ -43,9 +43,33 @@ def train_model(cfg: Config,
                           int(cfg.get('log_config', {}).get('interval', 50)))
 
     # ---------------- data
-    dataset = build_dataset(cfg.data['train'])
-    train_pipe = cfg.data['train'][0]['pipeline'] if isinstance(
-        cfg.data['train'], (list, tuple)) else cfg.data['train']['pipeline']
+    # device_normalize: strip host-side Normalize from the train
+    # pipelines and fold it into the jitted step (loader_bench.py shows
+    # Normalize is ~20% of per-image host cost)
+    img_norm = None
+    train_data_cfg = cfg.data['train']
+    if cfg.data.get('device_normalize'):
+        ds_list = train_data_cfg if isinstance(
+            train_data_cfg, (list, tuple)) else [train_data_cfg]
+        new_list = []
+        for ds_cfg in ds_list:
+            ds_cfg = dict(ds_cfg)
+            pipe = []
+            for t in ds_cfg['pipeline']:
+                if t.get('type') == 'Normalize':
+                    img_norm = dict(mean=t['mean'], std=t['std'],
+                                    to_rgb=t.get('to_rgb', False))
+                else:
+                    pipe.append(t)
+            ds_cfg['pipeline'] = pipe
+            new_list.append(ds_cfg)
+        assert img_norm is not None, \
+            'device_normalize=True but no Normalize in the train pipeline'
+        train_data_cfg = new_list if isinstance(
+            cfg.data['train'], (list, tuple)) else new_list[0]
+    dataset = build_dataset(train_data_cfg)
+    train_pipe = train_data_cfg[0]['pipeline'] if isinstance(
+        train_data_cfg, (list, tuple)) else train_data_cfg['pipeline']
     pad_hw = train_pad_hw_from_cfg(train_pipe)
     batch_size = int(cfg.data.get('samples_per_gpu', 4)) * \
         jax.device_count()
@@ -133,7 +157,7 @@ def train_model(cfg: Config,
         model, tx_update, featmap_sizes, tuple(head.strides),
         tuple(tuple(r) for r in head.regress_ranges), J,
         center_sample_radius=float(head.get('center_sample_radius', 1.5)),
-        max_pos=max_pos)
+        max_pos=max_pos, img_norm=img_norm)
 
     total_epochs = int(runner_cfg.get('max_epochs', 22))
     total_steps = max_steps or total_epochs * steps_per_epoch

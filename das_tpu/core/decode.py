@@ -30,13 +30,6 @@ from ..ops.oks_nms import default_sigmas, oks_nms_fixed, soft_oks_nms_fixed
 from .targets import make_points
 
 
-def _use_pallas_default() -> bool:
-    # Measured on v5e: the XLA fori-loop NMS runs the 1000-candidate decode
-    # in 0.66 ms; the Pallas kernel's per-candidate scalar reductions
-    # serialize to ~500 ms. XLA wins — keep it the default everywhere.
-    return False
-
-
 def decode_single_image(cls_scores: Sequence[jnp.ndarray],
                         pose_preds: Sequence[jnp.ndarray],
                         centernesses: Sequence[jnp.ndarray],
@@ -48,7 +41,6 @@ def decode_single_image(cls_scores: Sequence[jnp.ndarray],
                         nms_thr: float = 0.9,
                         score_thr: float = 0.07,
                         nms_type: str = 'hard',
-                        use_pallas: bool = None,
                         ) -> Dict[str, jnp.ndarray]:
     """Decode one image. Level tensors are (H, W, C); returns fixed-size
     arrays of nms_post candidates plus a validity mask."""
@@ -96,20 +88,10 @@ def decode_single_image(cls_scores: Sequence[jnp.ndarray],
     nms_scores = scores * ctrness
     valid = nms_scores > score_thr
 
-    # sort all candidates by nms score desc (invalid last)
-    order = jnp.argsort(jnp.where(valid, -nms_scores, jnp.inf))
-    nms_scores = nms_scores[order]
-    poses = poses[order]
-    centers = centers[order]
-    valid = valid[order]
-
     # reference parity: every above-threshold candidate from every level
-    # enters NMS (up to nms_pre per level, ref das_head.py:763-783). The
-    # nms_pre * num_levels bound only truncates degenerate configs.
-    M = min(nms_pre * len(cls_scores), nms_scores.shape[0])
-    nms_scores, poses, centers, valid = \
-        nms_scores[:M], poses[:M], centers[:M], valid[:M]
-
+    # enters NMS (up to nms_pre per level, ref das_head.py:763-783).
+    # No global sort/cap needed: both NMS variants select by argmax over
+    # the full candidate set in nms_post rounds.
     xy = poses[..., :2]
     areas = (xy[..., 0].max(1) - xy[..., 0].min(1)) * \
             (xy[..., 1].max(1) - xy[..., 1].min(1))
@@ -119,21 +101,13 @@ def decode_single_image(cls_scores: Sequence[jnp.ndarray],
         # scores, like the reference (das_head.py:790-794)
         gather, out_valid = soft_oks_nms_fixed(
             xy, nms_scores, areas, valid, nms_thr, nms_post, sig)
+    elif nms_type == 'hard':
+        gather, out_valid = oks_nms_fixed(
+            xy, nms_scores, areas, valid, nms_thr, sig,
+            max_dets=nms_post)
     else:
-        if nms_type != 'hard':
-            raise ValueError(f'unsupported nms_type {nms_type!r} '
-                             "(expected 'hard' or 'soft')")
-        if use_pallas is None:
-            use_pallas = _use_pallas_default()
-        if use_pallas:
-            from ..ops.pallas_nms import oks_nms_pallas
-            keep = oks_nms_pallas(xy, areas, valid, nms_thr, sig)
-        else:
-            keep = oks_nms_fixed(xy, nms_scores, areas, valid, nms_thr,
-                                 sig)
-        # compact kept candidates to the front, preserving score order
-        gather = jnp.argsort(jnp.logical_not(keep), stable=True)[:nms_post]
-        out_valid = keep[gather]
+        raise ValueError(f'unsupported nms_type {nms_type!r} '
+                         "(expected 'hard' or 'soft')")
     return dict(
         scores=jnp.where(out_valid, nms_scores[gather], 0.0),
         poses=poses[gather],

@@ -33,20 +33,21 @@ def default_sigmas(num_joints: int) -> np.ndarray:
 
 # --------------------------------------------------------------------- jax
 
-def oks_matrix(kpts: jnp.ndarray, areas: jnp.ndarray,
-               sigmas: jnp.ndarray) -> jnp.ndarray:
-    """Pairwise OKS.
+def oks_row(kpt: jnp.ndarray, kpts: jnp.ndarray, area, areas: jnp.ndarray,
+            sigmas: jnp.ndarray) -> jnp.ndarray:
+    """OKS of one pose against all poses (ref ``oks_iou`` pose_nms.py:51).
 
     Args:
-        kpts:  (M, J, 2) xy keypoints
-        areas: (M,)
+        kpt:   (J, 2) query pose
+        kpts:  (M, J, 2) candidate poses
+        area:  scalar; areas: (M,)
         sigmas: (J,)
-    Returns (M, M) OKS similarity.
+    Returns (M,) similarity.
     """
     variances = (2.0 * sigmas) ** 2                          # (J,)
-    d2 = ((kpts[:, None] - kpts[None, :]) ** 2).sum(-1)      # (M, M, J)
-    scale = (areas[:, None] + areas[None, :]) / 2.0 + np.spacing(1)
-    e = d2 / variances[None, None, :] / scale[..., None] / 2.0
+    d2 = ((kpts - kpt[None]) ** 2).sum(-1)                   # (M, J)
+    scale = (area + areas) / 2.0 + np.spacing(1)             # (M,)
+    e = d2 / variances[None, :] / scale[:, None] / 2.0
     return jnp.exp(-e).mean(-1)
 
 
@@ -55,26 +56,43 @@ def oks_nms_fixed(kpts: jnp.ndarray,
                   areas: jnp.ndarray,
                   valid: jnp.ndarray,
                   thr: float,
-                  sigmas: np.ndarray) -> jnp.ndarray:
+                  sigmas: np.ndarray,
+                  max_dets: int = None):
     """Greedy hard OKS-NMS over a fixed-size candidate set (jit-able).
 
-    Candidates must already be sorted by score descending (invalid entries
-    carry score -inf and sort last). Returns a keep mask (M,) where kept
-    entries follow the same greedy order as the reference's ``oks_nms``.
+    Identical semantics to the reference's ``oks_nms``
+    (ref pose_nms.py:92-126): repeatedly pick the highest-scoring alive
+    candidate and suppress everything with OKS > thr against it. Instead
+    of walking all M candidates sequentially, each of ``max_dets`` rounds
+    is one argmax + one on-the-fly OKS row — no M x M similarity matrix
+    and only ``max_dets`` (not M) sequential steps, which is what makes
+    the fused on-device decode fast at reference-parity candidate counts
+    (nms_pre per level, das_head.py:763-783).
+
+    Candidates need NOT be pre-sorted. Returns ``(gather_idx, out_valid)``
+    of length ``max_dets`` in greedy (= score) order.
     """
     M = kpts.shape[0]
-    sim = oks_matrix(kpts, areas, jnp.asarray(sigmas, kpts.dtype))
+    if max_dets is None:
+        max_dets = M
+    sig = jnp.asarray(sigmas, jnp.float32)
+    s = jnp.where(valid, scores.astype(jnp.float32), -jnp.inf)
+    idx = jnp.arange(M)
+    order0 = jnp.full((max_dets,), -1, jnp.int32)
 
-    def body(i, keep):
-        # candidate i survives iff no higher-scoring kept candidate overlaps
-        row = sim[i]                                          # (M,)
-        idx = jnp.arange(M)
-        suppressor = (idx < i) & keep & (row > thr)
-        keep_i = jnp.logical_not(suppressor.any()) & valid[i]
-        return keep.at[i].set(keep_i)
+    def body(k, carry):
+        alive, order = carry
+        sa = jnp.where(alive, s, -jnp.inf)
+        i = jnp.argmax(sa)
+        ok = sa[i] > -jnp.inf
+        order = order.at[k].set(jnp.where(ok, i.astype(jnp.int32), -1))
+        row = oks_row(kpts[i], kpts, areas[i], areas, sig)
+        alive = alive & (row <= thr) & (idx != i)
+        return alive, order
 
-    keep0 = jnp.zeros((M,), bool)
-    return jax.lax.fori_loop(0, M, body, keep0)
+    _, order = jax.lax.fori_loop(0, max_dets, body, (valid, order0))
+    out_valid = order >= 0
+    return jnp.where(out_valid, order, 0), out_valid
 
 
 def soft_oks_nms_fixed(kpts: jnp.ndarray,
@@ -89,12 +107,13 @@ def soft_oks_nms_fixed(kpts: jnp.ndarray,
     Reformulates the reference's ``soft_oks_nms`` (ref pose_nms.py:153-195):
     each of ``max_dets`` rounds picks the argmax of the (iteratively
     decayed) scores, then decays every remaining candidate by
-    ``exp(-oks^2 / thr)`` against the pick. Returns
-    ``(gather_idx (max_dets,), out_valid (max_dets,))`` in selection
-    order — the caller indexes the ORIGINAL scores with ``gather_idx``
-    exactly like the reference (das_head.py:790-794).
+    ``exp(-oks^2 / thr)`` against the pick — OKS rows computed on the
+    fly, no M x M matrix. Returns ``(gather_idx (max_dets,), out_valid
+    (max_dets,))`` in selection order — the caller indexes the ORIGINAL
+    scores with ``gather_idx`` exactly like the reference
+    (das_head.py:790-794).
     """
-    sim = oks_matrix(kpts, areas, jnp.asarray(sigmas, kpts.dtype))
+    sig = jnp.asarray(sigmas, jnp.float32)
     s0 = jnp.where(valid, scores.astype(jnp.float32), -jnp.inf)
     order0 = jnp.full((max_dets,), -1, jnp.int32)
 
@@ -103,7 +122,8 @@ def soft_oks_nms_fixed(kpts: jnp.ndarray,
         i = jnp.argmax(s)
         ok = s[i] > -jnp.inf
         order = order.at[k].set(jnp.where(ok, i.astype(jnp.int32), -1))
-        s = s * jnp.exp(-(sim[i] ** 2) / thr)
+        row = oks_row(kpts[i], kpts, areas[i], areas, sig)
+        s = s * jnp.exp(-(row ** 2) / thr)
         s = s.at[i].set(-jnp.inf)
         return s, order
 

@@ -154,8 +154,15 @@ def make_train_step(model,
                     centerness_alpha: float = 2.5,
                     bg_label: int = 1,
                     max_pos: int = 1024,
-                    donate: bool = True):
+                    donate: bool = True,
+                    img_norm=None):
     """Build the jitted SPMD train step.
+
+    ``img_norm`` (dict with mean/std/to_rgb) moves image normalization
+    onto the device: the loader then ships raw-range pixels and the
+    (mean-sub, std-div, BGR->RGB) runs fused into the first conv — on a
+    busy host this removes ~20% of the per-image CPU cost
+    (tools/analysis_tools/loader_bench.py).
 
     The returned function maps (state, batch) -> (state, metrics) where
     ``batch`` holds NHWC images plus padded GT arrays:
@@ -163,7 +170,17 @@ def make_train_step(model,
       gt_depths (B,G), gt_valid (B,G).
     """
 
+    if img_norm is not None:
+        _mean = jnp.asarray(img_norm['mean'], jnp.float32)
+        _std = jnp.asarray(img_norm['std'], jnp.float32)
+        _to_rgb = bool(img_norm.get('to_rgb', False))
+
     def loss_fn(params, batch_stats, batch):
+        if img_norm is not None:
+            img = batch['img']
+            if _to_rgb:
+                img = img[..., ::-1]
+            batch = dict(batch, img=(img - _mean) / _std)
         targets = get_targets(
             featmap_sizes, strides, regress_ranges,
             batch['gt_poses_3d'], batch['gt_centers2d'],

@@ -152,14 +152,14 @@ def test_oks_nms_fixed_matches_numpy():
                keypoints=np.concatenate(
                    [kpts[i], np.ones((J, 1), np.float32)], -1),
                area=areas[i]) for i in range(M)]
-    ref_keep = set(oks_nms_np(db, thr=0.9).tolist())
+    ref_keep = oks_nms_np(db, thr=0.9).tolist()
 
-    order = np.argsort(-scores)
-    keep_mask = oks_nms_fixed(jnp.asarray(kpts[order]),
-                              jnp.asarray(scores[order]),
-                              jnp.asarray(areas[order]),
-                              jnp.ones(M, bool), 0.9, sig)
-    ours_keep = set(order[np.asarray(keep_mask)].tolist())
+    # new contract: unsorted input, (gather, valid) out in greedy order
+    gather, out_valid = oks_nms_fixed(jnp.asarray(kpts),
+                                      jnp.asarray(scores),
+                                      jnp.asarray(areas),
+                                      jnp.ones(M, bool), 0.9, sig)
+    ours_keep = np.asarray(gather)[np.asarray(out_valid)].tolist()
     assert ours_keep == ref_keep
 
 

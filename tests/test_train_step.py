@@ -99,3 +99,44 @@ def test_overfit_tiny_model():
     top1 = state.params['backbone']['top']
     for a, b in zip(jax.tree.leaves(top0), jax.tree.leaves(top1)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_device_normalize_matches_host_normalize():
+    """img_norm in the train step == host-side Normalize (same loss)."""
+    model = build_model(TINY_MODEL)
+    img0 = jnp.zeros((2, *HW, 3), jnp.float32)
+    variables = dict(model.init_all(jax.random.PRNGKey(0), img0))
+    lr_fn = make_lr_fn(1e-2, warmup_iters=1, warmup_ratio=1.0,
+                       step_epochs=(1000,), steps_per_epoch=1)
+    tx_init, tx_update = make_optimizer(variables['params'], lr_fn,
+                                        weight_decay=0.0)
+    head = TINY_MODEL['bbox_head']
+    norm = dict(mean=[123.675, 116.28, 103.53],
+                std=[58.395, 57.12, 57.375], to_rgb=True)
+
+    def fresh_state():
+        return TrainState(jnp.zeros((), jnp.int32), variables['params'],
+                          variables['batch_stats'],
+                          tx_init(variables['params']))
+
+    batch = _fake_batch()
+    raw = np.random.RandomState(3).randint(
+        0, 255, (2, *HW, 3)).astype(np.float32)
+
+    mean = np.asarray(norm['mean'], np.float32)
+    std = np.asarray(norm['std'], np.float32)
+    host_img = (raw[..., ::-1] - mean) / std
+
+    step_host = make_train_step(
+        model, tx_update, FEATMAPS, head['strides'],
+        head['regress_ranges'], J, max_pos=64, donate=False)
+    step_dev = make_train_step(
+        model, tx_update, FEATMAPS, head['strides'],
+        head['regress_ranges'], J, max_pos=64, donate=False,
+        img_norm=norm)
+
+    _, m_host = step_host(fresh_state(),
+                          dict(batch, img=jnp.asarray(host_img)))
+    _, m_dev = step_dev(fresh_state(), dict(batch, img=jnp.asarray(raw)))
+    np.testing.assert_allclose(float(m_dev['loss']),
+                               float(m_host['loss']), rtol=1e-5)

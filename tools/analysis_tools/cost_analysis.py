@@ -1,0 +1,94 @@
+"""Analytical cost breakdown of the inference program via XLA.
+
+Compiles backbone+neck / head / decode separately for the current backend
+and prints FLOPs, bytes accessed, and speed-of-light times against peak
+MXU FLOPs and HBM bandwidth — contention-free guidance for optimization
+(the time-shared chip makes wall-clock microbenchmarks unreliable).
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..', '..'))
+
+# v5e peaks (public: 394 bf16 TFLOP/s, 819 GB/s HBM)
+PEAK_FLOPS = 394e12
+PEAK_BYTES = 819e9
+
+
+def analyze(name, fn, *args):
+    import jax
+    compiled = jax.jit(fn).lower(*args).compile()
+    ca = compiled.cost_analysis()
+    if isinstance(ca, list):
+        ca = ca[0]
+    flops = ca.get('flops', 0.0)
+    bytes_ = ca.get('bytes accessed', 0.0)
+    t_flops = flops / PEAK_FLOPS
+    t_bytes = bytes_ / PEAK_BYTES
+    sol = max(t_flops, t_bytes)
+    bound = 'compute' if t_flops > t_bytes else 'memory'
+    print(f'{name:16s} {flops / 1e9:9.1f} GFLOP {bytes_ / 1e9:8.2f} GB '
+          f'SOL {sol * 1e3:7.2f} ms ({bound}-bound; '
+          f'flops {t_flops * 1e3:.2f} ms / bytes {t_bytes * 1e3:.2f} ms)')
+    return dict(flops=flops, bytes=bytes_, sol=sol)
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument('--height', type=int, default=640)
+    parser.add_argument('--width', type=int, default=1152)
+    parser.add_argument('--batch', type=int, default=4)
+    parser.add_argument('--dtype', default='bfloat16')
+    args = parser.parse_args()
+
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    jax.config.update('jax_compilation_cache_dir', '/tmp/das_tpu_jax_cache')
+
+    from das_tpu.config import Config
+    from das_tpu.models import build_model
+    from das_tpu.core.decode import decode_batch
+
+    dtype = getattr(jnp, args.dtype)
+    cfg = Config.fromfile('configs/das/exp_panoptic.py')
+    model = build_model(dict(cfg.model), dtype=dtype)
+    B, H, W = args.batch, args.height, args.width
+    rng = np.random.RandomState(0)
+    img = jnp.asarray(rng.randn(B, H, W, 3), jnp.float32)
+    variables = dict(model.init_all(jax.random.PRNGKey(0),
+                                    jnp.zeros((1, 64, 64, 3))))
+    head = cfg.model.bbox_head
+    strides = tuple(head.strides)
+    J = int(head.num_joints)
+
+    def backbone(v, x):
+        return model.apply(v, x, False, method=type(model).extract_feat)
+
+    def full(v, x):
+        return model.apply(v, x, train=False)
+
+    r_bb = analyze('backbone+neck', backbone, variables, img)
+    r_full = analyze('full forward', full, variables, img)
+    print(f'{"head (delta)":16s} {(r_full["flops"] - r_bb["flops"]) / 1e9:9.1f} GFLOP '
+          f'{(r_full["bytes"] - r_bb["bytes"]) / 1e9:8.2f} GB')
+
+    outs = jax.eval_shape(full, variables, img)
+    cls_s = [jnp.zeros(o.shape, o.dtype) for o in outs[0]]
+    pose_s = [jnp.zeros(o.shape, o.dtype) for o in outs[1]]
+    ctr_s = [jnp.zeros(o.shape, o.dtype) for o in outs[2]]
+    sf = jnp.ones((B, 2), jnp.float32)
+    analyze('decode', lambda c, p, t, s: decode_batch(
+        c, p, t, strides, s, J, dict(cfg.model.test_cfg)),
+        cls_s, pose_s, ctr_s, sf)
+
+    tot = r_full['sol']
+    print(f'\nfull-forward SOL {tot * 1e3:.2f} ms -> '
+          f'{B / tot:.0f} img/s speed-of-light '
+          f'(quiet-chip round-1 measured ~30 img/s)')
+
+
+if __name__ == '__main__':
+    main()
