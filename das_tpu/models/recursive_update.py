@@ -59,13 +59,14 @@ def _offset_sample(uvd: jnp.ndarray,
     samp_j = fold(sampling_offset, Hd * 2)                 # (NJ, H, W, 2Hd)
     conf_j = fold(joint_conf, D)                           # (NJ, H, W, D)
 
-    xs = jnp.arange(W, dtype=uvd.dtype)[None, None, :] + 0.5
-    ys = jnp.arange(H, dtype=uvd.dtype)[None, :, None] + 0.5
+    # coordinate math in f32 (bf16 coords >= 128 lose their fraction)
+    xs = jnp.arange(W, dtype=jnp.float32)[None, None, :] + 0.5
+    ys = jnp.arange(H, dtype=jnp.float32)[None, :, None] + 0.5
 
     # --- heads sampled at the predicted target location -------------------
     off_to_target = uvd_j[..., :2]                          # (NJ, H, W, 2)
-    tx = xs + off_to_target[..., 0] - 0.5                  # abs pixel coords
-    ty = ys + off_to_target[..., 1] - 0.5
+    tx = xs + off_to_target[..., 0].astype(jnp.float32) - 0.5
+    ty = ys + off_to_target[..., 1].astype(jnp.float32) - 0.5
     off_from_target = sample_bilinear_abs(samp_j, tx, ty)  # (NJ,H,W,2Hd)
     off_from_target = off_from_target.reshape(N * J, H, W, Hd, 2) \
         + off_to_target[..., None, :]
@@ -86,8 +87,8 @@ def _offset_sample(uvd: jnp.ndarray,
     run_acc = jnp.zeros((N * J, H, W, D), feat.dtype)
     for c in range(2 * Hd):
         off_c = samp_off[:, :, :, c, :]                    # (NJ, H, W, 2)
-        sx = xs + off_c[..., 0] - 0.5
-        sy = ys + off_c[..., 1] - 0.5
+        sx = xs + off_c[..., 0].astype(jnp.float32) - 0.5
+        sy = ys + off_c[..., 1].astype(jnp.float32) - 0.5
         s = sample_bilinear_abs(feat, sx, sy)              # (NJ, H, W, 2D)
         s_uvd, s_conf = s[..., :D], s[..., D:]
         if D == 3:

@@ -43,9 +43,10 @@ def modulated_deform_conv(x: jnp.ndarray,
     K = kernel_size
     Cout = weight.shape[-1]
 
-    # Base grid of output pixel centres.
-    ys = jnp.arange(H, dtype=x.dtype)[None, :, None]          # (1,H,1)
-    xs = jnp.arange(W, dtype=x.dtype)[None, None, :]          # (1,1,W)
+    # Base grid of output pixel centres. Coordinate math stays f32 even in
+    # bf16 mode (bf16 coords >= 128 lose the fractional part entirely).
+    ys = jnp.arange(H, dtype=jnp.float32)[None, :, None]      # (1,H,1)
+    xs = jnp.arange(W, dtype=jnp.float32)[None, None, :]      # (1,1,W)
 
     # Per-tap accumulation: gather one deformed tap, contract it on the
     # MXU, add into the accumulator. Avoids materialising the full
@@ -55,8 +56,10 @@ def modulated_deform_conv(x: jnp.ndarray,
         jnp.broadcast_to(bias.astype(x.dtype), (N, H, W, Cout))
     for k in range(K * K):
         kh, kw = divmod(k, K)
-        sy = ys + (kh - padding) + offset[..., 2 * k]         # (N,H,W)
-        sx = xs + (kw - padding) + offset[..., 2 * k + 1]
+        sy = ys + (kh - padding) + \
+            offset[..., 2 * k].astype(jnp.float32)            # (N,H,W)
+        sx = xs + (kw - padding) + \
+            offset[..., 2 * k + 1].astype(jnp.float32)
         tap = sample_bilinear_abs(x, sx, sy) * mask[..., k:k + 1]
         # torch kernel layout (Cout, Cin, kh, kw) maps to ours as
         # weight[kh, kw, cin, cout]

@@ -35,8 +35,10 @@ def sample_bilinear_abs(img: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray,
     """
     N, H, W, C = img.shape
     orig_shape = x.shape
-    x = x.reshape(N, -1)
-    y = y.reshape(N, -1)
+    # coordinates MUST be f32: bf16 has 8 mantissa bits, so at x >= 128
+    # the fractional part vanishes and bilinear degrades to nearest
+    x = x.reshape(N, -1).astype(jnp.float32)
+    y = y.reshape(N, -1).astype(jnp.float32)
 
     x0 = jnp.floor(x)
     y0 = jnp.floor(y)
@@ -48,14 +50,19 @@ def sample_bilinear_abs(img: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray,
     wx0 = 1.0 - wx1
     wy0 = 1.0 - wy1
 
+    img_flat = img.reshape(N, H * W, C)
+
     def corner(xi, yi, wgt):
         inb = (xi >= 0) & (xi <= W - 1) & (yi >= 0) & (yi <= H - 1)
         xi_c = jnp.clip(xi, 0, W - 1).astype(jnp.int32)
         yi_c = jnp.clip(yi, 0, H - 1).astype(jnp.int32)
         flat = yi_c * W + xi_c                              # (N, P)
-        img_flat = img.reshape(N, H * W, C)
         vals = jnp.take_along_axis(img_flat, flat[..., None], axis=1)
-        return vals * (wgt * inb.astype(img.dtype))[..., None]
+        # weights computed in f32 at (N, P), cast BEFORE the broadcast so
+        # the (N, P, C) multiply stays in img.dtype — an f32 weight here
+        # silently promotes every gathered map to f32 (2x HBM traffic)
+        w = (wgt * inb).astype(img.dtype)
+        return vals * w[..., None]
 
     out = (corner(x0, y0, wx0 * wy0) + corner(x1, y0, wx1 * wy0)
            + corner(x0, y1, wx0 * wy1) + corner(x1, y1, wx1 * wy1))
@@ -73,8 +80,8 @@ def grid_sample(img: jnp.ndarray, grid: jnp.ndarray,
         (N, Hg, Wg, C)
     """
     N, H, W, C = img.shape
-    gx = grid[..., 0]
-    gy = grid[..., 1]
+    gx = grid[..., 0].astype(jnp.float32)
+    gy = grid[..., 1].astype(jnp.float32)
     if align_corners:
         x = (gx + 1.0) * 0.5 * (W - 1)
         y = (gy + 1.0) * 0.5 * (H - 1)

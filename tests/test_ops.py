@@ -206,3 +206,23 @@ def test_bce_mean_matches_torch():
         torch.from_numpy(logits), torch.from_numpy(targets))
     ours = binary_cross_entropy(jnp.asarray(logits), jnp.asarray(targets))
     np.testing.assert_allclose(float(ours), float(ref), rtol=1e-5)
+
+
+def test_bilinear_bf16_coords_right_edge():
+    """Coordinates must interpolate fractionally even past x=128 where
+    bf16 has integer-only resolution (regression: bf16 coordinate math
+    degraded bilinear to nearest on the right/bottom of the map)."""
+    from das_tpu.ops.interp import sample_bilinear_abs
+
+    H, W = 8, 256
+    img = np.zeros((1, H, W, 1), np.float32)
+    img[0, :, :, 0] = np.arange(W)[None, :]          # value == x coord
+    img_b = jnp.asarray(img, jnp.bfloat16)
+    x = jnp.asarray([[200.5]], jnp.bfloat16)         # half-pixel at x>128
+    y = jnp.asarray([[3.0]], jnp.bfloat16)
+    out = sample_bilinear_abs(img_b, x, y)
+    np.testing.assert_allclose(float(out[0, 0, 0]), 200.5, atol=0.51)
+    # and in f32 exact
+    out32 = sample_bilinear_abs(jnp.asarray(img), jnp.asarray([[200.5]]),
+                                jnp.asarray([[3.0]]))
+    np.testing.assert_allclose(float(out32[0, 0, 0]), 200.5, rtol=1e-6)

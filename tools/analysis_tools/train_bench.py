@@ -1,0 +1,87 @@
+"""On-chip train-step throughput for the exp_panoptic recipe
+(BASELINE rung #5: pmap-parity with the 4-GPU recipe, B=16 global).
+
+Synthetic batch, jitted SPMD step on the available devices; prints one
+JSON line with step time and img/s. Run during quiet chip windows.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..', '..'))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--batch', type=int, default=16)
+    ap.add_argument('--height', type=int, default=512)
+    ap.add_argument('--width', type=int, default=960)
+    ap.add_argument('--iters', type=int, default=4)
+    ap.add_argument('--groups', type=int, default=4)
+    args = ap.parse_args()
+
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    jax.config.update('jax_compilation_cache_dir', '/tmp/das_tpu_jax_cache')
+
+    from das_tpu.config import Config
+    from das_tpu.models import build_model
+    from das_tpu.parallel.train_step import (TrainState, make_lr_fn,
+                                             make_optimizer,
+                                             make_train_step,
+                                             mspn_frozen_prefixes)
+
+    cfg = Config.fromfile('configs/das/exp_panoptic.py')
+    model = build_model(dict(cfg.model), dtype=jnp.bfloat16)
+    B, H, W = args.batch, args.height, args.width
+    variables = dict(model.init_all(jax.random.PRNGKey(0),
+                                    jnp.zeros((1, 64, 64, 3))))
+    head = cfg.model.bbox_head
+    J = int(head.num_joints)
+    featmaps = [(H // (4 * 2 ** i), W // (4 * 2 ** i)) for i in range(4)]
+
+    lr_fn = make_lr_fn(2e-3, steps_per_epoch=1000)
+    tx_init, tx_update = make_optimizer(
+        variables['params'], lr_fn,
+        frozen_prefixes=mspn_frozen_prefixes(1))
+    state = TrainState(jnp.zeros((), jnp.int32), variables['params'],
+                       variables['batch_stats'],
+                       tx_init(variables['params']))
+
+    step_fn = make_train_step(
+        model, tx_update, featmaps, tuple(head.strides),
+        tuple(tuple(r) for r in head.regress_ranges), J,
+        max_pos=128 * B, donate=False)
+
+    rng = np.random.RandomState(0)
+    G = 8
+    batch = dict(
+        img=jnp.asarray(rng.randn(B, H, W, 3), jnp.float32),
+        gt_poses_3d=jnp.asarray(rng.randn(B, G, 3 + 4 * J), jnp.float32),
+        gt_centers2d=jnp.asarray(
+            rng.uniform(32, min(H, W) - 32, (B, G, 2)), jnp.float32),
+        gt_depths=jnp.asarray(rng.uniform(1, 3, (B, G)), jnp.float32),
+        gt_valid=jnp.ones((B, G), bool))
+
+    state, metrics = step_fn(state, batch)
+    _ = float(np.asarray(metrics['loss']))     # force completion
+
+    best = float('inf')
+    for _ in range(args.groups):
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            state, metrics = step_fn(state, batch)
+        _ = float(np.asarray(metrics['loss']))
+        best = min(best, (time.perf_counter() - t0) / args.iters)
+    print(json.dumps(dict(step_ms=round(best * 1e3, 1),
+                          img_per_s=round(B / best, 2),
+                          batch=B, hw=[H, W],
+                          loss=float(np.asarray(metrics['loss'])))))
+
+
+if __name__ == '__main__':
+    main()
