@@ -88,12 +88,28 @@ def _load_py_module(filename: str) -> Dict[str, Any]:
 
 
 def merge_dict(base: Dict, child: Dict, allow_list_keys: bool = False) -> Dict:
-    """Merge ``child`` into ``base`` (child wins). Honors ``_delete_``."""
+    """Merge ``child`` into ``base`` (child wins). Honors ``_delete_``.
+
+    Digit keys merge into list elements (mmcv ``allow_list_keys``
+    semantics, e.g. ``--cfg-options data.test.pipeline.2.flip=True``)."""
     base = copy.deepcopy(base)
     for key, value in child.items():
-        if allow_list_keys and key.isdigit() and isinstance(base, list):
-            raise NotImplementedError('list-index merge not supported')
         if (isinstance(value, dict) and key in base
+                and isinstance(base[key], list)
+                and all(isinstance(k, str) and k.isdigit() for k in value)):
+            lst = list(base[key])
+            for k, v in value.items():
+                i = int(k)
+                if not 0 <= i < len(lst):
+                    raise KeyError(
+                        f'index {i} out of range for list {key!r} '
+                        f'(len {len(lst)})')
+                if isinstance(v, dict) and isinstance(lst[i], dict):
+                    lst[i] = merge_dict(lst[i], v)
+                else:
+                    lst[i] = copy.deepcopy(v)
+            base[key] = lst
+        elif (isinstance(value, dict) and key in base
                 and isinstance(base[key], dict)
                 and not value.get(DELETE_KEY, False)):
             base[key] = merge_dict(base[key], value)
