@@ -54,10 +54,12 @@ def main():
 
     # The chip can be time-shared and block_until_ready is unreliable on
     # the experimental remote backend: force a host transfer per window
-    # and report the best window.
-    group, groups = 4, 5
+    # and report the best window. Windows are spread over ~2 min with
+    # short sleeps so at least one lands in a quiet slice of the shared
+    # chip (observed contended/quiet ratio is >10x).
+    group, groups = 4, 12
     best_dt = float('inf')
-    for _ in range(groups):
+    for g in range(groups):
         t0 = time.perf_counter()
         for i in range(group):
             # guaranteed-nonzero input perturbation so no layer of the
@@ -66,6 +68,8 @@ def main():
             out = predict(variables, img, sf)
         np.asarray(out['scores'])
         best_dt = min(best_dt, time.perf_counter() - t0)
+        if g < groups - 1:
+            time.sleep(min(10.0, best_dt))
 
     img_per_s = B * group / best_dt
     print(json.dumps(dict(
