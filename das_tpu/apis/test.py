@@ -23,14 +23,18 @@ from .inference import make_predict_fn, results_to_host
 
 def _sample_views(sample: Dict) -> List[Dict]:
     """Split a MultiScaleFlipAug sample (dict of per-view lists) into one
-    dict per augmented view (direct first, flipped second)."""
-    n_views = max(len(v) for v in sample.values()
-                  if isinstance(v, list)) if any(
-        isinstance(v, list) for v in sample.values()) else 1
+    dict per augmented view (direct first, flipped second).
+
+    View-ness is keyed off ``img`` being a list — other values may be
+    plain lists (e.g. a 4-float scale_factor) without implying views."""
+    if not isinstance(sample.get('img'), list):
+        return [sample]
+    n_views = len(sample['img'])
     views = []
     for i in range(n_views):
-        views.append({k: (v[i] if isinstance(v, list) else v)
-                      for k, v in sample.items()})
+        views.append({
+            k: (v[i] if isinstance(v, list) and len(v) == n_views else v)
+            for k, v in sample.items()})
     return views
 
 

@@ -161,3 +161,14 @@ def test_sweep_flip_merge_end_to_end(monkeypatch):
     # swaps them back so the average keeps the asymmetry centred
     np.testing.assert_allclose(res['poses'][0, 3, 0] +
                                res['poses'][0, 9, 0], 2 * 34.5, atol=1e-3)
+
+
+def test_sample_views_plain_sample_with_list_metas():
+    """A non-MSFA sample whose metas contain plain lists must stay ONE
+    view (regression: list-valued scale_factor fabricated phantom views)."""
+    s = dict(img=np.zeros((4, 4, 3), np.float32),
+             img_metas=dict(scale_factor=[1.0, 1.0, 1.0, 1.0]),
+             extra=[1, 2, 3])
+    views = _sample_views(s)
+    assert len(views) == 1
+    assert views[0] is s
