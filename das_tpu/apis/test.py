@@ -143,10 +143,122 @@ def _sweep(model, variables, get_sample, n: int, cfg, batch_size: int,
     return results
 
 
-def run_test(model, variables, dataset, cfg, batch_size: int = 4,
-             progress: bool = True) -> List[Dict]:
-    """Test sweep; returns reference-style output dicts in dataset order."""
+def _device_pre_sweep(model, variables, dataset, cfg, batch_size: int,
+                      progress: bool) -> List[Dict]:
+    """Fused-preprocessing sweep: the host only JPEG-decodes; keep-ratio
+    resize, BGR->RGB, normalize, pad (and the flip-test mirror) compile
+    into the same XLA program as the model (SURVEY §2.3 north-star:
+    cv2 host preprocessing -> on-device).
+
+    Equivalent to the host pipeline path up to bilinear-resize rounding
+    (ops/preprocess.resize_bilinear is cv2.INTER_LINEAR-parity, see
+    tests/test_preprocess.py)."""
+    import cv2
     import jax
+    import jax.numpy as jnp
+
+    from ..datasets.pipelines import _rescale_size
+    from ..ops.preprocess import make_preprocess_fn
+    from ..core.decode import decode_batch
+
+    head_cfg = cfg.model.bbox_head
+    strides = tuple(head_cfg.strides)
+    J = int(head_cfg.num_joints)
+    test_cfg = dict(cfg.model.test_cfg)
+
+    pipe = cfg.data['test']['pipeline']
+    msfa = next(t for t in pipe if t.get('type') == 'MultiScaleFlipAug')
+    scale = tuple(msfa['img_scale'])
+    do_flip = bool(msfa.get('flip', False))
+    flip_pairs = [list(p) for p in (msfa.get('flip_pairs') or [])]
+    norm_t = next((t for t in msfa['transforms']
+                   if t.get('type') == 'Normalize'), None)
+    norm = (dict(mean=tuple(norm_t['mean']), std=tuple(norm_t['std']),
+                 to_rgb=norm_t.get('to_rgb', False))
+            if norm_t else dict(mean=(0., 0., 0.), std=(1., 1., 1.),
+                                to_rgb=False))
+
+    prefix = getattr(dataset, 'img_prefix', '') or ''
+    infos = dataset.data_infos
+    n = len(infos)
+    buckets = defaultdict(list)
+    for i, info in enumerate(infos):
+        buckets[(int(info['height']), int(info['width']))].append(i)
+
+    results: List[Any] = [None] * n
+    done = 0
+    for (h, w), idxs in buckets.items():
+        new_h, new_w = _rescale_size(h, w, scale)
+        pad_h, pad_w = -(-new_h // 32) * 32, -(-new_w // 32) * 32
+        pre = make_preprocess_fn((h, w), (new_h, new_w), (pad_h, pad_w),
+                                 **norm)
+
+        def make_fn(flip):
+            @jax.jit
+            def f(variables, raw, sf):
+                x = jnp.flip(raw, axis=2) if flip else raw
+                img = pre(x)
+                cls, pose, ctr, _ = model.apply(variables, img,
+                                                train=False)
+                return decode_batch(cls, pose, ctr, strides, sf, J,
+                                    test_cfg)
+            return f
+
+        fn_direct = make_fn(False)
+        fn_flip = make_fn(True) if do_flip else None
+        sf_row = np.asarray([new_w / w, new_h / h], np.float32)
+
+        for start in range(0, len(idxs), batch_size):
+            chunk = idxs[start:start + batch_size]
+            batch_idx = chunk + [chunk[-1]] * (batch_size - len(chunk))
+            raws = []
+            for i in batch_idx:
+                path = os.path.join(prefix, infos[i]['file_name']) \
+                    if prefix else infos[i]['file_name']
+                raw = cv2.imread(path, cv2.IMREAD_COLOR)
+                if raw is None:
+                    raise FileNotFoundError(path)
+                raws.append(raw)
+            raw_b = jnp.asarray(np.stack(raws))
+            sf = jnp.asarray(np.tile(sf_row, (len(batch_idx), 1)))
+            paths = [os.path.join(prefix, infos[i]['file_name'])
+                     if prefix else infos[i]['file_name']
+                     for i in batch_idx]
+            outs = results_to_host(fn_direct(variables, raw_b, sf), paths)
+            if do_flip:
+                outs_f = results_to_host(fn_flip(variables, raw_b, sf),
+                                         paths)
+                outs = [merge_flip_results(
+                    d, _unflip_result(f_, w, flip_pairs))
+                    for d, f_ in zip(outs, outs_f)]
+            for j, i in enumerate(chunk):
+                results[i] = outs[j]
+            done += len(chunk)
+            if progress:
+                print(f'\r[das_tpu] test {done}/{n}', end='', flush=True)
+    if progress:
+        print()
+    return results
+
+
+def run_test(model, variables, dataset, cfg, batch_size: int = 4,
+             progress: bool = True,
+             device_preprocess: bool = None) -> List[Dict]:
+    """Test sweep; returns reference-style output dicts in dataset order.
+
+    ``device_preprocess`` (default: ``cfg.data.test.device_preprocess``)
+    moves resize/normalize/pad/flip onto the device — the host only
+    decodes JPEGs."""
+    import jax
+
+    if device_preprocess is None:
+        device_preprocess = bool(
+            cfg.data['test'].get('device_preprocess', False))
+    if device_preprocess:
+        assert jax.process_count() == 1, \
+            'device_preprocess + multihost not wired yet'
+        return _device_pre_sweep(model, variables, dataset, cfg,
+                                 batch_size, progress)
 
     if jax.process_count() == 1:
         return _sweep(model, variables, lambda i: dataset[i],
