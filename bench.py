@@ -24,7 +24,8 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    jax.config.update('jax_compilation_cache_dir', '/tmp/das_tpu_jax_cache')
+    from das_tpu.utils.cache import jax_cache_dir
+    jax.config.update('jax_compilation_cache_dir', jax_cache_dir())
 
     from __graft_entry__ import _build
     from das_tpu.core.decode import decode_batch

@@ -1,0 +1,31 @@
+"""Machine-keyed XLA compilation cache directory.
+
+XLA:CPU AOT artifacts are machine-feature specific; in this environment
+compiles may be served by a remote helper running on different hardware,
+and loading a foreign AOT artifact SIGABRTs the process. Keying the
+cache path by the host CPU's feature flags makes poisoning structurally
+impossible.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import platform
+
+
+def machine_key() -> str:
+    feats = platform.machine()
+    try:
+        with open('/proc/cpuinfo') as f:
+            for line in f:
+                if line.startswith('flags'):
+                    feats += line
+                    break
+    except OSError:
+        pass
+    return hashlib.md5(feats.encode()).hexdigest()[:10]
+
+
+def jax_cache_dir(base: str = '/tmp/das_tpu_jax_cache') -> str:
+    return f'{base}_{machine_key()}'

@@ -18,6 +18,12 @@ import jax  # noqa: E402
 # parity tests compare against torch fp32; disable bf16 matmul passthrough
 jax.config.update('jax_default_matmul_precision', 'highest')
 
-# XLA-CPU compiles are slow in this environment; cache them across runs
-jax.config.update('jax_compilation_cache_dir', '/tmp/das_tpu_jax_cache')
+# XLA-CPU compiles are slow in this environment; cache them across runs.
+# The dir is keyed by host CPU features: foreign-machine AOT artifacts
+# in a shared cache SIGABRT at load (observed with the remote compile
+# relay in this environment).
+import sys as _sys
+_sys.path.insert(0, __file__.rsplit('/', 2)[0])
+from das_tpu.utils.cache import jax_cache_dir
+jax.config.update('jax_compilation_cache_dir', jax_cache_dir())
 jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.5)

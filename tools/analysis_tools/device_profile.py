@@ -28,7 +28,8 @@ def main():
     import numpy as np
     import jax
     import jax.numpy as jnp
-    jax.config.update('jax_compilation_cache_dir', '/tmp/das_tpu_jax_cache')
+    from das_tpu.utils.cache import jax_cache_dir
+    jax.config.update('jax_compilation_cache_dir', jax_cache_dir())
 
     from das_tpu.config import Config
     from das_tpu.models import build_model
