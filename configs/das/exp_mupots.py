@@ -22,6 +22,9 @@ model = dict(
         norm_cfg=dict(type='BN'),
         frozen_stages=1,
         norm_eval=False,
+        # v5e: rematerialise stages under grad; without it the B=8
+        # 512x960 train step needs 28G of the 15.75G HBM
+        remat=True,
     ),
     neck=dict(
         type='FPN',

@@ -21,6 +21,9 @@ model = dict(
         norm_cfg=dict(type='SyncBN'),
         frozen_stages=1,
         norm_eval=False,
+        # v5e: rematerialise stages under grad; without it the B=8
+        # 512x960 train step needs 28G of the 15.75G HBM
+        remat=True,
     ),
     neck=dict(
         type='FPN',
@@ -31,6 +34,7 @@ model = dict(
     ),
     bbox_head=dict(
         type='DASHead',
+        remat=True,
         in_channels=fpn_channels,
         feat_channels=fpn_channels,
         regress_ranges=((-1, 80), (80, 160), (160, 320), (320, 1e8),),

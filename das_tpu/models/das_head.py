@@ -85,6 +85,7 @@ class DASHead(nn.Module):
     loss_pose: Optional[dict] = None
     loss_centerness: Optional[dict] = None
     background_label: Optional[int] = None
+    remat: bool = False    # rematerialise per-level forward under grad
     dtype: Dtype = jnp.float32
     axis_name: Optional[str] = None
 
@@ -105,13 +106,18 @@ class DASHead(nn.Module):
         init01 = nn.initializers.normal(0.01)
         kw = dict(norm_cfg=norm_cfg, bias=self.conv_bias, dtype=self.dtype,
                   axis_name=self.axis_name, kernel_init=init01)
+        # fine-grained remat: each ConvModule is its own region, so the
+        # backward holds one conv's activations at a time (level-level
+        # remat still peaked >16G at B=4 512x960)
+        CM = nn.remat(ConvModule, static_argnums=(2,)) if self.remat \
+            else ConvModule
 
         def tower():
             mods = []
             for i in range(self.stacked_convs):
                 dcn = self.dcn_on_last_conv and i == self.stacked_convs - 1
-                mods.append(ConvModule(self.feat_channels, 3, 1, 1,
-                                       dcn=dcn, **kw))
+                mods.append(CM(self.feat_channels, 3, 1, 1,
+                               dcn=dcn, **kw))
             return mods
 
         self.cls_convs = tower()
@@ -119,7 +125,7 @@ class DASHead(nn.Module):
         self.pose_convs = tower()
 
         def branch(channels):
-            return [ConvModule(c, 3, 1, 1, **kw) for c in channels]
+            return [CM(c, 3, 1, 1, **kw) for c in channels]
 
         bias_prob = 0.01
         cls_bias = float(-math.log((1 - bias_prob) / bias_prob))
@@ -143,6 +149,7 @@ class DASHead(nn.Module):
 
         ru = dict(self.recursive_update or {})
         ru.setdefault('num_joints', self.num_joints)
+        ru.setdefault('remat', self.remat)
         self.recursive_update_branch = RecursiveUpdateBranch(
             dtype=self.dtype, **ru)
         self.prev_loss = ru.get('prev_loss', False)

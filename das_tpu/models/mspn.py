@@ -249,7 +249,8 @@ class MSPN2(nn.Module):
         out_feats = []
         stage_cls = SingleStageNetwork
         if self.remat and train:
-            stage_cls = nn.remat(SingleStageNetwork, static_argnums=(3,))
+            # static_argnums counts the module itself: (self, x, skip1, skip2, train)
+            stage_cls = nn.remat(SingleStageNetwork, static_argnums=(4,))
         for i in range(self.num_stages):
             stage = stage_cls(
                 has_skip=i != 0,

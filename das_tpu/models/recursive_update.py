@@ -236,16 +236,19 @@ class RecursiveUpdateBranch(nn.Module):
     num_layers: int = 1
     dim: int = 3
     prev_loss: bool = True       # consumed by the loss, kept for config parity
+    remat: bool = False          # rematerialise each layer under grad
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, feat: jnp.ndarray, offset: jnp.ndarray,
                  train: bool = False) -> jnp.ndarray:
+        layer_cls = nn.remat(RecursiveUpdateLayer, static_argnums=(3,)) \
+            if self.remat else RecursiveUpdateLayer
         feat = ConvModule(self.feat_channels, 1, 1, 0,
                           norm_cfg=dict(type='GN', num_groups=32),
                           dtype=self.dtype, name='reduction')(feat, train)
         for i in range(self.num_layers):
-            feat, offset = RecursiveUpdateLayer(
+            feat, offset = layer_cls(
                 num_joints=self.num_joints, num_heads=self.num_heads,
                 dim=self.dim, dtype=self.dtype,
                 name=f'layer_{i}')(feat, offset, train)
