@@ -77,8 +77,9 @@ class DAS(nn.Module):
         """
         J = self.bbox_head['num_joints']
         # token targets: shapes follow das_tpu.core.targets.get_targets
+        n_levels = len(self.bbox_head.get('strides', (8, 16, 32, 64)))
         n_pts = sum((img.shape[1] // (4 * 2 ** i)) *
-                    (img.shape[2] // (4 * 2 ** i)) for i in range(4))
+                    (img.shape[2] // (4 * 2 ** i)) for i in range(n_levels))
         T = img.shape[0] * n_pts
         targets = dict(
             labels=jnp.ones((T,), jnp.int32),
