@@ -1,0 +1,178 @@
+"""Microbenchmark DCN / gather formulations at real head shapes.
+
+Compares, at the stride-8 eval shape (B=4 640x1152 -> 80x144x256):
+  * per-tap gather + per-tap matmul (current ops/deform_conv.py)
+  * stacked-taps gather + one (9C, Cout) matmul
+  * plain 3x3 conv of the same shape (floor)
+  * the RU offset-sample (current) at its real shape
+
+Run on the real chip:  python tools/analysis_tools/dcn_bench.py
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..', '..'))
+
+
+def timed(fn, args, iters=8, perturb_idx=0):
+    # block_until_ready is unreliable over the axon relay: force a host
+    # transfer of (a slice of) the result to prove execution finished.
+    import numpy as np
+    import jax
+    out = fn(*args)
+    np.asarray(jax.tree.leaves(out)[0]).ravel()[:1]
+    args = list(args)
+    t0 = time.perf_counter()
+    for i in range(iters):
+        args[perturb_idx] = args[perturb_idx] + 1e-6
+        out = fn(*args)
+    np.asarray(jax.tree.leaves(out)[0]).ravel()[:1]
+    return (time.perf_counter() - t0) / iters
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument('--height', type=int, default=80)
+    p.add_argument('--width', type=int, default=144)
+    p.add_argument('--batch', type=int, default=4)
+    p.add_argument('--chan', type=int, default=256)
+    p.add_argument('--dtype', default='bfloat16')
+    args = p.parse_args()
+
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    import jax.lax as lax
+
+    from das_tpu.ops.deform_conv import modulated_deform_conv
+    from das_tpu.ops.interp import sample_bilinear_abs
+
+    dt = getattr(jnp, args.dtype)
+    N, H, W, C = args.batch, args.height, args.width, args.chan
+    Cout, K = C, 3
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(N, H, W, C), dt)
+    offset = jnp.asarray(rng.randn(N, H, W, 2 * K * K), dt) * 2
+    mask = jax.nn.sigmoid(jnp.asarray(rng.randn(N, H, W, K * K), dt))
+    weight = jnp.asarray(rng.randn(K, K, C, Cout) * 0.05, dt)
+
+    flops = 2 * N * H * W * K * K * C * Cout
+
+    # ------------------------------------------------ plain conv floor
+    conv = jax.jit(lambda x, w: lax.conv_general_dilated(
+        x, w, (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
+        preferred_element_type=dt))
+    t = timed(conv, [x, weight])
+    print(f'plain 3x3 conv:      {t * 1e3:7.2f} ms  '
+          f'({flops / t / 1e12:6.1f} TFLOP/s)')
+
+    # ------------------------------------------------ im2col conv
+    def im2col_conv(x, w):
+        xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        cols = [xp[:, kh:kh + H, kw:kw + W] for kh in range(K)
+                for kw in range(K)]
+        patches = jnp.concatenate(cols, axis=-1)       # (N,H,W,9C)
+        return jnp.einsum('nhwk,ko->nhwo', patches,
+                          w.transpose(0, 1, 2, 3).reshape(K * K * C, Cout),
+                          preferred_element_type=dt)
+    ic = jax.jit(im2col_conv)
+    t = timed(ic, [x, weight])
+    print(f'im2col 3x3 conv:     {t * 1e3:7.2f} ms  '
+          f'({flops / t / 1e12:6.1f} TFLOP/s)')
+
+    # ------------------------------------------------ big matmul floor
+    a = jnp.asarray(rng.randn(N * H * W, K * K * C), dt)
+    b = jnp.asarray(rng.randn(K * K * C, Cout), dt)
+    mm = jax.jit(lambda a, b: a @ b)
+    t = timed(mm, [a, b])
+    print(f'equiv matmul:        {t * 1e3:7.2f} ms  '
+          f'({flops / t / 1e12:6.1f} TFLOP/s)')
+
+    # ------------------------------------------------ current per-tap
+    cur = jax.jit(lambda x, o, m, w: modulated_deform_conv(x, o, m, w))
+    t = timed(cur, [x, offset, mask, weight])
+    print(f'per-tap gather DCN:  {t * 1e3:7.2f} ms  '
+          f'({flops / t / 1e12:6.1f} TFLOP/s)')
+
+    # ------------------------------------------------ stacked-taps
+    def stacked(x, o, m, w):
+        ys = jnp.arange(H, dtype=jnp.float32)[None, :, None]
+        xs = jnp.arange(W, dtype=jnp.float32)[None, None, :]
+        taps = []
+        for k in range(K * K):
+            kh, kw = divmod(k, K)
+            sy = ys + (kh - 1) + o[..., 2 * k].astype(jnp.float32)
+            sx = xs + (kw - 1) + o[..., 2 * k + 1].astype(jnp.float32)
+            taps.append(sample_bilinear_abs(x, sx, sy) * m[..., k:k + 1])
+        t9 = jnp.stack(taps, axis=3)               # (N,H,W,9,C)
+        return jnp.einsum('nhwkc,kco->nhwo', t9,
+                          w.reshape(K * K, C, Cout),
+                          preferred_element_type=dt)
+    st = jax.jit(stacked)
+    t = timed(st, [x, offset, mask, weight])
+    print(f'stacked-taps DCN:    {t * 1e3:7.2f} ms  '
+          f'({flops / t / 1e12:6.1f} TFLOP/s)')
+
+    # ------------------------------------------------ 2x2-slice gather DCN
+    def slice22(x, o, m, w):
+        ys = jnp.arange(H, dtype=jnp.float32)[None, :, None]
+        xs = jnp.arange(W, dtype=jnp.float32)[None, None, :]
+        out = None
+        for k in range(K * K):
+            kh, kw = divmod(k, K)
+            sy = (ys + (kh - 1) + o[..., 2 * k].astype(jnp.float32))
+            sx = (xs + (kw - 1) + o[..., 2 * k + 1].astype(jnp.float32))
+            y0 = jnp.floor(sy)
+            x0 = jnp.floor(sx)
+            wy = (sy - y0)[..., None]
+            wx = (sx - x0)[..., None]
+            # gather (2,2,C) patches at (y0, x0) with one lax.gather
+            iy = jnp.clip(y0.astype(jnp.int32), -1, H - 1)
+            ix = jnp.clip(x0.astype(jnp.int32), -1, W - 1)
+            # pad so the 2x2 window at -1..H-1 is in range, zeros outside
+            xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+            idx = jnp.stack([jnp.broadcast_to(iy + 1, (N, H, W)),
+                             jnp.broadcast_to(ix + 1, (N, H, W))], -1)
+            idx = idx.reshape(N, H * W, 2)
+            g = jax.vmap(lambda img, ind: lax.gather(
+                img, ind,
+                lax.GatherDimensionNumbers(
+                    offset_dims=(1, 2, 3),
+                    collapsed_slice_dims=(),
+                    start_index_map=(0, 1)),
+                slice_sizes=(2, 2, C),
+                mode='clip'))(xp, idx)             # (N, HW, 2, 2, C)
+            g = g.reshape(N, H, W, 2, 2, C)
+            wyc = wy.astype(dt)
+            wxc = wx.astype(dt)
+            tap = ((g[:, :, :, 0, 0] * (1 - wyc) + g[:, :, :, 1, 0] * wyc)
+                   * (1 - wxc)
+                   + (g[:, :, :, 0, 1] * (1 - wyc) + g[:, :, :, 1, 1] * wyc)
+                   * wxc)
+            tap = tap * m[..., k:k + 1]
+            r = jnp.einsum('nhwc,co->nhwo', tap, w[kh, kw],
+                           preferred_element_type=dt)
+            out = r if out is None else out + r
+        return out
+    sl = jax.jit(slice22)
+    t = timed(sl, [x, offset, mask, weight])
+    print(f'2x2-slice DCN:       {t * 1e3:7.2f} ms  '
+          f'({flops / t / 1e12:6.1f} TFLOP/s)  [approx border]')
+
+    # ------------------------------------------------ RU offset sample
+    from das_tpu.models.recursive_update import _offset_sample
+    J, Hd, D = 15, 4, 3
+    uvd = jnp.asarray(rng.randn(N, H, W, J * D), dt)
+    samp = jnp.asarray(rng.randn(N, H, W, J * Hd * 2), dt) * 3
+    conf = jnp.asarray(rng.randn(N, H, W, J * D), dt)
+    ru = jax.jit(lambda u, s, c: _offset_sample(u, s, c, J, Hd, D))
+    t = timed(ru, [uvd, samp, conf])
+    print(f'RU offset_sample:    {t * 1e3:7.2f} ms')
+
+
+if __name__ == '__main__':
+    main()

@@ -13,12 +13,23 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..', '..'))
 
 
 def timed(fn, *args, iters=5):
-    """Time fn, perturbing the first array arg with the previous output so
-    the execution relay can't memoize identical dispatches."""
+    """Time fn, perturbing the first array arg so the execution relay can't
+    memoize identical dispatches.
+
+    block_until_ready is unreliable over the axon relay and large
+    device->host transfers are pathologically slow, so completion is
+    forced by fetching ONE scalar of the output each iteration (~2 ms
+    dispatch+transfer overhead, measured)."""
+    import numpy as np
     import jax
     import jax.numpy as jnp
+
+    def fetch_scalar(tree):
+        leaf = jax.tree.leaves(tree)[0]
+        return np.asarray(leaf.ravel()[0])
+
     out = fn(*args)
-    jax.block_until_ready(out)
+    fetch_scalar(out)
     args = list(args)
 
     def perturb(tree, eps):
@@ -43,7 +54,7 @@ def timed(fn, *args, iters=5):
                 args[i] = new_arg
                 break
         out = fn(*args)
-    jax.block_until_ready(out)
+        fetch_scalar(out)
     return (time.perf_counter() - t0) / iters, out
 
 
