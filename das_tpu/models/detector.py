@@ -74,19 +74,39 @@ class DAS(nn.Module):
         ``init`` on the plain forward never traces the flows; this helper
         runs the loss path on dummy targets so the full tree exists for
         checkpoint loading and training.
+
+        Flax ``init`` executes eagerly, op by op.  On a remote accelerator
+        backend that is thousands of ~latency-bound dispatches, so when the
+        default device is not the host CPU the init runs on the CPU backend
+        and the finished tree is moved across in one bulk transfer.
         """
+        import jax
+
         J = self.bbox_head['num_joints']
         # token targets: shapes follow das_tpu.core.targets.get_targets
         n_levels = len(self.bbox_head.get('strides', (8, 16, 32, 64)))
         n_pts = sum((img.shape[1] // (4 * 2 ** i)) *
                     (img.shape[2] // (4 * 2 ** i)) for i in range(n_levels))
         T = img.shape[0] * n_pts
-        targets = dict(
-            labels=jnp.ones((T,), jnp.int32),
-            pose_targets=jnp.zeros((T, 3 + 4 * J), jnp.float32),
-            centerness_targets=jnp.zeros((T,), jnp.float32),
-            strides=jnp.ones((T,), jnp.float32))
-        return self.init(rng, img, targets, method=DAS.loss)
+
+        def make_and_init(img):
+            targets = dict(
+                labels=jnp.ones((T,), jnp.int32),
+                pose_targets=jnp.zeros((T, 3 + 4 * J), jnp.float32),
+                centerness_targets=jnp.zeros((T,), jnp.float32),
+                strides=jnp.ones((T,), jnp.float32))
+            return self.init(rng, img, targets, method=DAS.loss)
+
+        default = jax.devices()[0]
+        if default.platform == 'cpu':
+            return make_and_init(img)
+        try:
+            cpu = jax.devices('cpu')[0]
+        except RuntimeError:
+            return make_and_init(img)
+        with jax.default_device(cpu):
+            variables = make_and_init(jax.device_put(img, cpu))
+        return jax.device_put(variables, default)
 
 
 def _clean(cfg) -> dict:
