@@ -36,7 +36,8 @@ def _offset_sample(uvd: jnp.ndarray,
                    joint_conf: jnp.ndarray,
                    num_joints: int,
                    num_heads: int,
-                   dim: int) -> jnp.ndarray:
+                   dim: int,
+                   gather_mode: str = 'clip') -> jnp.ndarray:
     """Multi-head deformable re-sampling of the joint-offset field.
 
     Args (all NHWC):
@@ -67,7 +68,8 @@ def _offset_sample(uvd: jnp.ndarray,
     off_to_target = uvd_j[..., :2]                          # (NJ, H, W, 2)
     tx = xs + off_to_target[..., 0].astype(jnp.float32) - 0.5
     ty = ys + off_to_target[..., 1].astype(jnp.float32) - 0.5
-    off_from_target = sample_bilinear_abs(samp_j, tx, ty)  # (NJ,H,W,2Hd)
+    off_from_target = sample_bilinear_abs(samp_j, tx, ty,
+                                          gather_mode=gather_mode)  # (NJ,H,W,2Hd)
     off_from_target = off_from_target.reshape(N * J, H, W, Hd, 2) \
         + off_to_target[..., None, :]
 
@@ -89,7 +91,8 @@ def _offset_sample(uvd: jnp.ndarray,
         off_c = samp_off[:, :, :, c, :]                    # (NJ, H, W, 2)
         sx = xs + off_c[..., 0].astype(jnp.float32) - 0.5
         sy = ys + off_c[..., 1].astype(jnp.float32) - 0.5
-        s = sample_bilinear_abs(feat, sx, sy)              # (NJ, H, W, 2D)
+        s = sample_bilinear_abs(feat, sx, sy,
+                                gather_mode=gather_mode)  # (NJ, H, W, 2D)
         s_uvd, s_conf = s[..., :D], s[..., D:]
         if D == 3:
             diff = jnp.concatenate(

@@ -25,11 +25,16 @@ import numpy as np
 
 
 def sample_bilinear_abs(img: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray,
-                        ) -> jnp.ndarray:
+                        gather_mode: str = 'clip') -> jnp.ndarray:
     """Bilinear sample ``img`` (N,H,W,C) at absolute pixel coords.
 
     ``x``/``y`` have shape (N, ...) broadcastable per-batch sample grids.
     Out-of-bounds contributions are zero (torch ``padding_mode='zeros'``).
+
+    ``gather_mode`` picks the XLA gather lowering: indices are pre-clipped
+    so ``'clip'`` (no out-of-bounds masking work, unlike the default
+    ``'fill'``) is always valid; ``'one_hot'`` reformulates the gather as
+    a one-hot matmul on the MXU, which wins for small tables.
 
     Returns array of shape (N, *x.shape[1:], C).
     """
@@ -57,7 +62,8 @@ def sample_bilinear_abs(img: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray,
         xi_c = jnp.clip(xi, 0, W - 1).astype(jnp.int32)
         yi_c = jnp.clip(yi, 0, H - 1).astype(jnp.int32)
         flat = yi_c * W + xi_c                              # (N, P)
-        vals = jnp.take_along_axis(img_flat, flat[..., None], axis=1)
+        vals = jnp.take_along_axis(img_flat, flat[..., None], axis=1,
+                                   mode=gather_mode)
         # weights computed in f32 at (N, P), cast BEFORE the broadcast so
         # the (N, P, C) multiply stays in img.dtype — an f32 weight here
         # silently promotes every gathered map to f32 (2x HBM traffic)

@@ -163,15 +163,45 @@ def main():
     print(f'2x2-slice DCN:       {t * 1e3:7.2f} ms  '
           f'({flops / t / 1e12:6.1f} TFLOP/s)  [approx border]')
 
+    # ------------------------------------------ gather-only isolation
+    # one corner-gather of the DCN (36 of these per DCN layer): splits
+    # raw gather cost from the lerp/matmul arithmetic
+    from das_tpu.ops.interp import sample_bilinear_abs as sba
+    flat_idx = jnp.asarray(
+        rng.randint(0, H * W, (N, H * W, 1)), jnp.int32)
+
+    for mode in ('fill', 'clip', 'one_hot'):
+        g1 = jax.jit(lambda xf, i, mode=mode: jnp.take_along_axis(
+            xf, i, axis=1, mode=mode))
+        xf = x.reshape(N, H * W, C)
+        try:
+            t = timed(g1, [xf, flat_idx], perturb_idx=0)
+            bw = N * H * W * C * x.dtype.itemsize / t / 1e9
+            print(f'1 gather {mode:8s}:   {t * 1e3:7.2f} ms  '
+                  f'({bw:6.1f} GB/s eff)')
+        except Exception as e:
+            print(f'1 gather {mode:8s}:   failed: {str(e)[:80]}')
+
+    # full bilinear sample (4 corners + lerp) per gather mode
+    sxy = jnp.asarray(rng.uniform(0, min(H, W) - 2, (2, N, H, W)),
+                      jnp.float32)
+    for mode in ('clip', 'one_hot'):
+        sb = jax.jit(lambda img, s, mode=mode: sba(
+            img, s[0], s[1], gather_mode=mode))
+        t = timed(sb, [x, sxy], perturb_idx=1)
+        print(f'bilinear {mode:8s}:   {t * 1e3:7.2f} ms')
+
     # ------------------------------------------------ RU offset sample
     from das_tpu.models.recursive_update import _offset_sample
     J, Hd, D = 15, 4, 3
     uvd = jnp.asarray(rng.randn(N, H, W, J * D), dt)
     samp = jnp.asarray(rng.randn(N, H, W, J * Hd * 2), dt) * 3
     conf = jnp.asarray(rng.randn(N, H, W, J * D), dt)
-    ru = jax.jit(lambda u, s, c: _offset_sample(u, s, c, J, Hd, D))
-    t = timed(ru, [uvd, samp, conf])
-    print(f'RU offset_sample:    {t * 1e3:7.2f} ms')
+    for mode in ('clip', 'one_hot'):
+        ru = jax.jit(lambda u, s, c, mode=mode: _offset_sample(
+            u, s, c, J, Hd, D, gather_mode=mode))
+        t = timed(ru, [uvd, samp, conf])
+        print(f'RU offset_sample {mode:8s}: {t * 1e3:7.2f} ms')
 
 
 if __name__ == '__main__':
