@@ -31,13 +31,27 @@ from .layers import ConvModule
 Dtype = Any
 
 
+def _resolve_gather_mode(mode: str, table_rows: int) -> str:
+    """'auto' picks the gather lowering by table size.
+
+    The offset fields here have 6-8 channels — a handful of lanes out of
+    128 — so XLA's native gather reads are overhead-dominated (measured
+    1.27 s for one stride-8 offset_sample at the Panoptic eval shape,
+    ~the entire model's step time). 'one_hot' re-expresses the gather as
+    a one-hot matmul on the MXU: 5x faster at that shape. Its cost grows
+    with table_rows^2, so fall back to plain gathers for huge tables."""
+    if mode != 'auto':
+        return mode
+    return 'one_hot' if table_rows <= 32768 else 'clip'
+
+
 def _offset_sample(uvd: jnp.ndarray,
                    sampling_offset: jnp.ndarray,
                    joint_conf: jnp.ndarray,
                    num_joints: int,
                    num_heads: int,
                    dim: int,
-                   gather_mode: str = 'clip') -> jnp.ndarray:
+                   gather_mode: str = 'auto') -> jnp.ndarray:
     """Multi-head deformable re-sampling of the joint-offset field.
 
     Args (all NHWC):
@@ -49,6 +63,7 @@ def _offset_sample(uvd: jnp.ndarray,
     """
     N, H, W, _ = uvd.shape
     J, Hd, D = num_joints, num_heads, dim
+    gather_mode = _resolve_gather_mode(gather_mode, H * W)
 
     # fold joints into the batch axis: (N*J, H, W, c)
     def fold(x, c):
@@ -215,6 +230,7 @@ class RecursiveUpdateLayer(nn.Module):
     num_joints: int
     num_heads: int
     dim: int = 3
+    gather_mode: str = 'auto'
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -226,7 +242,7 @@ class RecursiveUpdateLayer(nn.Module):
             name='next_level_offset')(feat, prev_offset, train)
         new_offset = _offset_sample(offset, samp_off, samp_conf,
                                     self.num_joints, self.num_heads,
-                                    self.dim)
+                                    self.dim, gather_mode=self.gather_mode)
         return feat, new_offset
 
 
@@ -240,6 +256,7 @@ class RecursiveUpdateBranch(nn.Module):
     dim: int = 3
     prev_loss: bool = True       # consumed by the loss, kept for config parity
     remat: bool = False          # rematerialise each layer under grad
+    gather_mode: str = 'auto'    # gather lowering for the offset sampling
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -253,6 +270,7 @@ class RecursiveUpdateBranch(nn.Module):
         for i in range(self.num_layers):
             feat, offset = layer_cls(
                 num_joints=self.num_joints, num_heads=self.num_heads,
-                dim=self.dim, dtype=self.dtype,
+                dim=self.dim, gather_mode=self.gather_mode,
+                dtype=self.dtype,
                 name=f'layer_{i}')(feat, offset, train)
         return offset

@@ -18,19 +18,39 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..', '..'))
 
 
 def timed(fn, args, iters=8, perturb_idx=0):
-    # block_until_ready is unreliable over the axon relay: force a host
-    # transfer of (a slice of) the result to prove execution finished.
+    """Time fn by chaining ``iters`` dependent evaluations INSIDE one jit
+    program: the axon relay costs ~90 ms per dispatch, so anything below
+    ~150 ms measured dispatch-by-dispatch is relay latency, not chip time.
+    The chain feeds a scalar of each output back into the perturbed input
+    so XLA cannot collapse the loop."""
     import numpy as np
     import jax
-    out = fn(*args)
-    np.asarray(jax.tree.leaves(out)[0]).ravel()[:1]
+    import jax.numpy as jnp
+    import jax.lax as lax
+
     args = list(args)
+
+    def chained(*a):
+        a = list(a)
+
+        def body(_, x):
+            out = fn(*[x if j == perturb_idx else a[j]
+                       for j in range(len(a))])
+            leaf = jax.tree.leaves(out)[0]
+            eps = (leaf.astype(jnp.float32).ravel()[:1] * 1e-20).astype(
+                x.dtype)
+            return x + eps
+        return lax.fori_loop(0, iters, body, a[perturb_idx])
+
+    cfn = jax.jit(chained)
+    out = cfn(*args)                      # compile + warm
+    np.asarray(out.ravel()[:1])
     t0 = time.perf_counter()
-    for i in range(iters):
-        args[perturb_idx] = args[perturb_idx] + 1e-6
-        out = fn(*args)
-    np.asarray(jax.tree.leaves(out)[0]).ravel()[:1]
-    return (time.perf_counter() - t0) / iters
+    out = cfn(*[a + 1e-6 if i == perturb_idx else a
+                for i, a in enumerate(args)])
+    np.asarray(out.ravel()[:1])
+    dt = time.perf_counter() - t0
+    return dt / iters
 
 
 def main():
