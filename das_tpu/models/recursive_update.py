@@ -32,17 +32,17 @@ Dtype = Any
 
 
 def _resolve_gather_mode(mode: str, table_rows: int) -> str:
-    """'auto' picks the gather lowering by table size.
+    """Resolve the gather lowering used by the offset sampling.
 
-    The offset fields here have 6-8 channels — a handful of lanes out of
-    128 — so XLA's native gather reads are overhead-dominated (measured
-    1.27 s for one stride-8 offset_sample at the Panoptic eval shape,
-    ~the entire model's step time). 'one_hot' re-expresses the gather as
-    a one-hot matmul on the MXU: 5x faster at that shape. Its cost grows
-    with table_rows^2, so fall back to plain gathers for huge tables."""
+    Quiet-window chained measurements (tools/analysis_tools/dcn_bench.py)
+    at the stride-8 Panoptic eval shape: 'clip' 174 ms, 'one_hot' 223 ms
+    (the one-hot matmul burns table_rows^2 MXU work), so 'auto' resolves
+    to 'clip'. The knob stays because the ranking is backend-dependent —
+    a contended-window run ranked them the other way around."""
+    del table_rows
     if mode != 'auto':
         return mode
-    return 'one_hot' if table_rows <= 32768 else 'clip'
+    return 'clip'
 
 
 def _offset_sample(uvd: jnp.ndarray,

@@ -45,12 +45,18 @@ def timed(fn, args, iters=8, perturb_idx=0):
     cfn = jax.jit(chained)
     out = cfn(*args)                      # compile + warm
     np.asarray(out.ravel()[:1])
-    t0 = time.perf_counter()
-    out = cfn(*[a + 1e-6 if i == perturb_idx else a
-                for i, a in enumerate(args)])
-    np.asarray(out.ravel()[:1])
-    dt = time.perf_counter() - t0
-    return dt / iters
+    # the chip is time-shared: sample several spread windows, report the
+    # best (a contended window reads 10-20x slow)
+    best = float('inf')
+    for w in range(5):
+        a0 = args[perturb_idx] + 1e-6 * (w + 1)
+        wargs = [a0 if i == perturb_idx else a for i, a in enumerate(args)]
+        t0 = time.perf_counter()
+        out = cfn(*wargs)
+        np.asarray(out.ravel()[:1])
+        best = min(best, time.perf_counter() - t0)
+        time.sleep(2.0)
+    return best / iters
 
 
 def main():
