@@ -34,7 +34,10 @@ def sample_bilinear_abs(img: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray,
     ``gather_mode`` picks the XLA gather lowering: indices are pre-clipped
     so ``'clip'`` (no out-of-bounds masking work, unlike the default
     ``'fill'``) is always valid; ``'one_hot'`` reformulates the gather as
-    a one-hot matmul on the MXU, which wins for small tables.
+    a one-hot matmul on the MXU, which wins for small tables; ``'patch'``
+    fetches all four corners as ONE (2,2,C) slice-gather per point —
+    gather cost on this backend is per-row, so a quarter of the rows
+    (measured 30% faster for the DCN at the stride-8 eval shape).
 
     Returns array of shape (N, *x.shape[1:], C).
     """
@@ -44,6 +47,9 @@ def sample_bilinear_abs(img: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray,
     # the fractional part vanishes and bilinear degrades to nearest
     x = x.reshape(N, -1).astype(jnp.float32)
     y = y.reshape(N, -1).astype(jnp.float32)
+
+    if gather_mode == 'patch':
+        return _sample_patch(img, x, y).reshape(*orig_shape, C)
 
     x0 = jnp.floor(x)
     y0 = jnp.floor(y)
@@ -73,6 +79,56 @@ def sample_bilinear_abs(img: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray,
     out = (corner(x0, y0, wx0 * wy0) + corner(x1, y0, wx1 * wy0)
            + corner(x0, y1, wx0 * wy1) + corner(x1, y1, wx1 * wy1))
     return out.reshape(*orig_shape, C)
+
+
+def _sample_patch(img: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray,
+                  ) -> jnp.ndarray:
+    """Bilinear sampling via one (2,2,C) slice-gather per point.
+
+    Exact torch ``padding_mode='zeros'`` semantics: per-corner in-bounds
+    masks are computed from the UNclipped integer coords, the image is
+    zero-padded by 1 so every clipped 2x2 window is a legal slice.
+
+    Args: img (N,H,W,C); x/y (N,P) f32 absolute pixel coords.
+    Returns: (N, P, C).
+    """
+    import jax.lax as lax
+    N, H, W, C = img.shape
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    wx1 = x - x0
+    wy1 = y - y0
+    wx0 = 1.0 - wx1
+    wy0 = 1.0 - wy1
+
+    def inb(xi, yi):
+        return (xi >= 0) & (xi <= W - 1) & (yi >= 0) & (yi <= H - 1)
+
+    # corner weights with exact zero outside the image
+    w00 = wy0 * wx0 * inb(x0, y0)
+    w01 = wy0 * wx1 * inb(x0 + 1, y0)
+    w10 = wy1 * wx0 * inb(x0, y0 + 1)
+    w11 = wy1 * wx1 * inb(x0 + 1, y0 + 1)
+
+    xp = jnp.pad(img, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    iy = jnp.clip(y0, -1, H - 1).astype(jnp.int32) + 1      # [0, H]
+    ix = jnp.clip(x0, -1, W - 1).astype(jnp.int32) + 1
+    idx = jnp.stack([iy, ix], axis=-1)                      # (N, P, 2)
+    g = jax.vmap(lambda im, ind: lax.gather(
+        im, ind,
+        lax.GatherDimensionNumbers(
+            offset_dims=(1, 2, 3),
+            collapsed_slice_dims=(),
+            start_index_map=(0, 1)),
+        slice_sizes=(2, 2, C),
+        mode='promise_in_bounds'))(xp, idx)                 # (N,P,2,2,C)
+
+    dt = img.dtype
+    out = (g[:, :, 0, 0] * w00.astype(dt)[..., None]
+           + g[:, :, 0, 1] * w01.astype(dt)[..., None]
+           + g[:, :, 1, 0] * w10.astype(dt)[..., None]
+           + g[:, :, 1, 1] * w11.astype(dt)[..., None])
+    return out
 
 
 def grid_sample(img: jnp.ndarray, grid: jnp.ndarray,

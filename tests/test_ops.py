@@ -226,3 +226,23 @@ def test_bilinear_bf16_coords_right_edge():
     out32 = sample_bilinear_abs(jnp.asarray(img), jnp.asarray([[200.5]]),
                                 jnp.asarray([[3.0]]))
     np.testing.assert_allclose(float(out32[0, 0, 0]), 200.5, rtol=1e-6)
+
+
+def test_sample_bilinear_gather_modes_agree():
+    """Every gather lowering computes the identical sample (incl. out-of-
+    bounds zeros and exact-integer coords at the border)."""
+    from das_tpu.ops.interp import sample_bilinear_abs
+    img = jnp.asarray(RNG.randn(2, 9, 11, 5).astype(np.float32))
+    coords = [
+        (RNG.uniform(-3, 14, (2, 64)), RNG.uniform(-3, 12, (2, 64))),
+        (RNG.randint(-2, 13, (2, 32)).astype(np.float64),
+         RNG.randint(-2, 11, (2, 32)).astype(np.float64)),
+    ]
+    for x, y in coords:
+        x = jnp.asarray(x, jnp.float32)
+        y = jnp.asarray(y, jnp.float32)
+        ref = sample_bilinear_abs(img, x, y, gather_mode='fill')
+        for mode in ('clip', 'one_hot', 'patch'):
+            got = sample_bilinear_abs(img, x, y, gather_mode=mode)
+            np.testing.assert_array_equal(
+                np.asarray(got), np.asarray(ref), err_msg=mode)

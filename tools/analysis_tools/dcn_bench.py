@@ -211,7 +211,7 @@ def main():
     # full bilinear sample (4 corners + lerp) per gather mode
     sxy = jnp.asarray(rng.uniform(0, min(H, W) - 2, (2, N, H, W)),
                       jnp.float32)
-    for mode in ('clip', 'one_hot'):
+    for mode in ('clip', 'one_hot', 'patch'):
         sb = jax.jit(lambda img, s, mode=mode: sba(
             img, s[0], s[1], gather_mode=mode))
         t = timed(sb, [x, sxy], perturb_idx=1)
@@ -223,7 +223,7 @@ def main():
     uvd = jnp.asarray(rng.randn(N, H, W, J * D), dt)
     samp = jnp.asarray(rng.randn(N, H, W, J * Hd * 2), dt) * 3
     conf = jnp.asarray(rng.randn(N, H, W, J * D), dt)
-    for mode in ('clip', 'one_hot'):
+    for mode in ('clip', 'one_hot', 'patch'):
         ru = jax.jit(lambda u, s, c, mode=mode: _offset_sample(
             u, s, c, J, Hd, D, gather_mode=mode))
         t = timed(ru, [uvd, samp, conf])
