@@ -36,10 +36,13 @@ def timed(fn, args, iters=8, perturb_idx=0, windows=5):
         def body(_, x):
             out = fn(*[x if j == perturb_idx else a[j]
                        for j in range(len(a))])
-            leaf = jax.tree.leaves(out)[0]
-            eps = (leaf.astype(jnp.float32).ravel()[:1] * 1e-20).astype(
-                x.dtype)
-            return x + eps
+            # fold ONE scalar from EVERY output leaf into the feedback —
+            # touching only one leaf lets XLA dead-code-eliminate the
+            # rest of the network (observed: "full forward" measured the
+            # cls tower alone)
+            eps = sum(leaf.astype(jnp.float32).ravel()[0]
+                      for leaf in jax.tree.leaves(out))
+            return x + (eps * 1e-20).astype(x.dtype)
         return lax.fori_loop(0, iters, body, a[perturb_idx])
 
     cfn = jax.jit(chained)
