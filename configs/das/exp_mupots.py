@@ -58,6 +58,9 @@ model = dict(
         nms_post=100,
         nms_thr=0.9,
         score_thr=0.07,
+        # TPU addition (decode-identical): refine joint offsets only at
+        # the nms_pre candidates the decode will rank anyway
+        sparse_refine=True,
     ),
 )
 

@@ -206,9 +206,40 @@ class DASHead(nn.Module):
         sigma = sigma.reshape(*sigma.shape[:3], J * 3)
 
         uvd_flat = uvd.reshape(*uvd.shape[:3], J * 3)
-        ref_uvd = self.recursive_update_branch(
-            pose_feat, uvd_flat.astype(self.dtype), train)
-        ref_uvd = ref_uvd.astype(jnp.float32)
+
+        # Sparse eval refinement (test_cfg.sparse_refine): the decode
+        # keeps at most nms_pre candidates per level, ranked by
+        # score*centerness — which this branch does not influence — so
+        # the offset re-sampling only needs to run at those points
+        # (level-0 of the 640x1152 eval shape is 691k points per image
+        # vs nms_pre=1000; the dense sampling was 77% of the measured
+        # inference step). Decode outputs are bitwise identical: the
+        # head selects with the same key, the same k and the same
+        # jax.lax.top_k as core/decode.decode_single_image.
+        test_cfg = dict(self.test_cfg or {})
+        N, Hf, Wf = cls_score.shape[:3]
+        nms_pre = int(test_cfg.get('nms_pre', 1000))
+        sparse = (not train) and bool(test_cfg.get('sparse_refine', False)) \
+            and self.recursive_update_branch.num_layers > 0
+        if sparse and Hf * Wf > nms_pre:
+            ranked = (jax.nn.sigmoid(cls_score.astype(jnp.float32))
+                      * jax.nn.sigmoid(centerness.astype(jnp.float32)))
+            ranked = ranked.reshape(N, Hf * Wf)
+            _, select_idx = jax.lax.top_k(ranked, nms_pre)
+        else:
+            sparse = False
+            select_idx = None
+
+        ref_out = self.recursive_update_branch(
+            pose_feat, uvd_flat.astype(self.dtype), train, select_idx)
+        if sparse:
+            base, refined = ref_out
+            nidx = jnp.arange(N)[:, None]
+            ref_uvd = base.astype(jnp.float32).reshape(N, Hf * Wf, J * 3) \
+                .at[nidx, select_idx].set(refined.astype(jnp.float32)) \
+                .reshape(N, Hf, Wf, J * 3)
+        else:
+            ref_uvd = ref_out.astype(jnp.float32)
         ref_uvd = ref_uvd.reshape(*ref_uvd.shape[:3], J, 3)
         ref_uvd = ref_uvd.at[..., self.root_idx, 2].set(0.0)
 

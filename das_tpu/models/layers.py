@@ -56,6 +56,7 @@ class DeformConv2d(nn.Module):
     padding: int = 1
     use_bias: bool = True
     kernel_init: Any = None
+    gather_mode: str = 'clip'
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -82,7 +83,8 @@ class DeformConv2d(nn.Module):
             x.astype(self.dtype), offset.astype(self.dtype),
             mask.astype(self.dtype), weight.astype(self.dtype),
             None if bias is None else bias.astype(self.dtype),
-            kernel_size=k, padding=self.padding)
+            kernel_size=k, padding=self.padding,
+            gather_mode=self.gather_mode)
 
 
 class ConvModule(nn.Module):
@@ -101,6 +103,7 @@ class ConvModule(nn.Module):
     norm_cfg: Optional[dict] = None
     act: Optional[str] = 'relu'
     dcn: bool = False
+    dcn_gather_mode: str = 'clip'
     kernel_init: Any = None
     dtype: Dtype = jnp.float32
     axis_name: Optional[str] = None
@@ -117,6 +120,7 @@ class ConvModule(nn.Module):
                              padding=self.padding,
                              use_bias=use_bias,
                              kernel_init=kinit,
+                             gather_mode=self.dcn_gather_mode,
                              dtype=self.dtype,
                              name='conv')(x)
         else:

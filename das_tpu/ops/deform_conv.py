@@ -27,7 +27,8 @@ def modulated_deform_conv(x: jnp.ndarray,
                           weight: jnp.ndarray,
                           bias: jnp.ndarray = None,
                           kernel_size: int = 3,
-                          padding: int = 1) -> jnp.ndarray:
+                          padding: int = 1,
+                          gather_mode: str = 'clip') -> jnp.ndarray:
     """DCNv2 forward, stride 1, dilation 1, deform_groups 1, NHWC.
 
     Args:
@@ -60,7 +61,8 @@ def modulated_deform_conv(x: jnp.ndarray,
             offset[..., 2 * k].astype(jnp.float32)            # (N,H,W)
         sx = xs + (kw - padding) + \
             offset[..., 2 * k + 1].astype(jnp.float32)
-        tap = sample_bilinear_abs(x, sx, sy) * mask[..., k:k + 1]
+        tap = sample_bilinear_abs(x, sx, sy, gather_mode=gather_mode) \
+            * mask[..., k:k + 1]
         # torch kernel layout (Cout, Cin, kh, kw) maps to ours as
         # weight[kh, kw, cin, cout]
         out = out + jnp.einsum('nhwc,co->nhwo', tap, weight[kh, kw],
@@ -74,7 +76,8 @@ def dcn_v2(x: jnp.ndarray,
            weight: jnp.ndarray,
            bias: jnp.ndarray = None,
            kernel_size: int = 3,
-           padding: int = 1) -> jnp.ndarray:
+           padding: int = 1,
+           gather_mode: str = 'clip') -> jnp.ndarray:
     """Full DCNv2 pack: compute offsets/mask with a plain conv, then deform.
 
     Args:
@@ -97,4 +100,5 @@ def dcn_v2(x: jnp.ndarray,
     offset = raw[..., :2 * KK]
     mask = jax.nn.sigmoid(raw[..., 2 * KK:])
     return modulated_deform_conv(x, offset, mask, weight, bias,
-                                 kernel_size, padding)
+                                 kernel_size, padding,
+                                 gather_mode=gather_mode)

@@ -184,3 +184,31 @@ def test_fuse_conv_bn_preserves_eval_outputs(tiny_model):
     for r, g in zip(jax.tree.leaves(ref), jax.tree.leaves(got)):
         np.testing.assert_allclose(np.asarray(g), np.asarray(r),
                                    rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.slow
+def test_sparse_refine_decode_identical(tiny_model):
+    """test_cfg.sparse_refine must leave decode outputs bitwise unchanged:
+    the head refines only the top-nms_pre points — selected with the same
+    key and the same top_k as the decode itself."""
+    from das_tpu.core.decode import decode_batch
+    model, variables = tiny_model
+    rng = np.random.RandomState(7)
+    img = jnp.asarray(rng.randn(2, *HW, 3), jnp.float32)
+    head = TINY_MODEL['bbox_head']
+
+    mc = dict(TINY_MODEL)
+    mc['test_cfg'] = dict(TINY_MODEL['test_cfg'], sparse_refine=True)
+    model_sp = build_model(mc)
+
+    outs = {}
+    for name, m in [('dense', model), ('sparse', model_sp)]:
+        cls, pose, ctr, _ = m.apply(variables, img, train=False)
+        outs[name] = decode_batch(
+            cls, pose, ctr, tuple(head['strides']),
+            jnp.ones((2, 2), jnp.float32), J,
+            dict(mc['test_cfg']))
+    for k in ('scores', 'poses', 'centers', 'valid'):
+        np.testing.assert_array_equal(
+            np.asarray(outs['dense'][k]), np.asarray(outs['sparse'][k]),
+            err_msg=k)

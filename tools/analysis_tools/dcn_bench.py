@@ -231,5 +231,53 @@ def main():
         print(f'RU offset_sample {mode:8s}: {t * 1e3:7.2f} ms')
 
 
-if __name__ == '__main__':
+if __name__ == '__main__' and '--in-context' not in sys.argv:
     main()
+
+
+def ru_in_context(args=None):
+    """RU offset_sample fed from CONV OUTPUTS (the in-model condition)
+    instead of parameter arrays: reproduces layout/fusion effects that a
+    parameter-fed microbench misses (in-model RU measured 4.3x slower
+    than the parameter-fed figure)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    import jax.lax as lax
+    from das_tpu.models.recursive_update import _offset_sample
+
+    dt = jnp.bfloat16
+    H = int(sys.argv[sys.argv.index('--height') + 1]) \
+        if '--height' in sys.argv else 160
+    W = int(sys.argv[sys.argv.index('--width') + 1]) \
+        if '--width' in sys.argv else 288
+    N, C = 4, 256
+    J, Hd, D = 15, 4, 3
+    print(f'in-context RU at {H}x{W} (level-0 of 640x1152 is 160x288)',
+          flush=True)
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(N, H, W, C), dt)
+    w_s = jnp.asarray(rng.randn(1, 1, C, J * Hd * 2) * 1e-2, dt)
+    w_c = jnp.asarray(rng.randn(1, 1, C, J * D) * 1e-2, dt)
+    w_u = jnp.asarray(rng.randn(1, 1, C, J * D) * 1e-2, dt)
+
+    def conv1(x, w):
+        return lax.conv_general_dilated(
+            x, w, (1, 1), ((0, 0), (0, 0)),
+            dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
+            preferred_element_type=dt)
+
+    for mode in ('clip', 'patch'):
+        def fused(x, mode=mode):
+            uvd = conv1(x, w_u)
+            samp = conv1(x, w_s)
+            conf = conv1(x, w_c)
+            return _offset_sample(uvd, samp, conf, J, Hd, D,
+                                  gather_mode=mode)
+        t = timed(jax.jit(fused), [x])
+        print(f'RU in-context {mode:6s}: {t * 1e3:8.2f} ms', flush=True)
+
+
+if __name__ == '__main__' and '--in-context' in sys.argv:
+    ru_in_context()
+    sys.exit(0)

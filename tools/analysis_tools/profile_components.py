@@ -68,6 +68,10 @@ def main():
     parser.add_argument('--dtype', default='bfloat16')
     parser.add_argument('--only', default='',
                         help='comma list: ops,backbone,full,noru,decode')
+    parser.add_argument('--ru-gather-mode', default=None,
+                        help="override recursive_update.gather_mode "
+                             "(clip|one_hot|patch) for the full-forward "
+                             "measurement")
     args = parser.parse_args()
     only = set(args.only.split(',')) if args.only else None
 
@@ -86,6 +90,10 @@ def main():
 
     dtype = getattr(jnp, args.dtype)
     cfg = Config.fromfile('configs/das/exp_panoptic.py')
+    if args.ru_gather_mode:
+        cfg.merge_from_dict({
+            'model.bbox_head.recursive_update.gather_mode':
+                args.ru_gather_mode})
     B, H, W = args.batch, args.height, args.width
     rng = np.random.RandomState(0)
     img = jnp.asarray(rng.randn(B, H, W, 3), jnp.float32)
