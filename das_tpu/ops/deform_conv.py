@@ -28,7 +28,7 @@ def modulated_deform_conv(x: jnp.ndarray,
                           bias: jnp.ndarray = None,
                           kernel_size: int = 3,
                           padding: int = 1,
-                          gather_mode: str = 'clip') -> jnp.ndarray:
+                          gather_mode: str = 'patch') -> jnp.ndarray:
     """DCNv2 forward, stride 1, dilation 1, deform_groups 1, NHWC.
 
     Args:
@@ -77,7 +77,7 @@ def dcn_v2(x: jnp.ndarray,
            bias: jnp.ndarray = None,
            kernel_size: int = 3,
            padding: int = 1,
-           gather_mode: str = 'clip') -> jnp.ndarray:
+           gather_mode: str = 'patch') -> jnp.ndarray:
     """Full DCNv2 pack: compute offsets/mask with a plain conv, then deform.
 
     Args:
