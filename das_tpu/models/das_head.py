@@ -165,7 +165,8 @@ class DASHead(nn.Module):
             x = m(x, train)
         return x
 
-    def forward_single(self, x: jnp.ndarray, lvl: int, train: bool):
+    def forward_single(self, x: jnp.ndarray, lvl: int, train: bool,
+                       select_idx=None):
         J = self.num_joints
         stride = self.strides[lvl]
 
@@ -216,19 +217,23 @@ class DASHead(nn.Module):
         # inference step). Decode outputs are bitwise identical: the
         # head selects with the same key, the same k and the same
         # jax.lax.top_k as core/decode.decode_single_image.
+        # In training, ``select_idx`` arrives from DAS.loss as the
+        # assigned positive points (train_cfg.sparse_refine) — losses and
+        # gradients are bitwise the dense ones (see DAS.loss docstring).
         test_cfg = dict(self.test_cfg or {})
         N, Hf, Wf = cls_score.shape[:3]
         nms_pre = int(test_cfg.get('nms_pre', 1000))
-        sparse = (not train) and bool(test_cfg.get('sparse_refine', False)) \
-            and self.recursive_update_branch.num_layers > 0
-        if sparse and Hf * Wf > nms_pre:
+        if self.recursive_update_branch.num_layers == 0:
+            select_idx = None
+        if select_idx is None and (not train) \
+                and bool(test_cfg.get('sparse_refine', False)) \
+                and self.recursive_update_branch.num_layers > 0 \
+                and Hf * Wf > nms_pre:
             ranked = (jax.nn.sigmoid(cls_score.astype(jnp.float32))
                       * jax.nn.sigmoid(centerness.astype(jnp.float32)))
             ranked = ranked.reshape(N, Hf * Wf)
             _, select_idx = jax.lax.top_k(ranked, nms_pre)
-        else:
-            sparse = False
-            select_idx = None
+        sparse = select_idx is not None
 
         ref_out = self.recursive_update_branch(
             pose_feat, uvd_flat.astype(self.dtype), train, select_idx)
@@ -259,8 +264,11 @@ class DASHead(nn.Module):
         return cls_score.astype(jnp.float32), pose_pred, \
             centerness.astype(jnp.float32), ref_flat
 
-    def __call__(self, feats: Sequence[jnp.ndarray], train: bool = False):
-        outs = [self.forward_single(f, i, train)
+    def __call__(self, feats: Sequence[jnp.ndarray], train: bool = False,
+                 select_idx=None):
+        outs = [self.forward_single(
+                    f, i, train,
+                    None if select_idx is None else select_idx[i])
                 for i, f in enumerate(feats)]
         cls_scores, pose_preds, centernesses, ref_uvds = zip(*outs)
         return list(cls_scores), list(pose_preds), list(centernesses), \

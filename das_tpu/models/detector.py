@@ -51,20 +51,51 @@ class DAS(nn.Module):
         x = self.backbone_mod(img, train)
         return self.neck_mod(x, train)
 
-    def __call__(self, img: jnp.ndarray, train: bool = False):
+    def __call__(self, img: jnp.ndarray, train: bool = False,
+                 select_idx=None):
         """Forward to per-level head outputs.
 
         Returns (cls_scores, pose_preds, centernesses, ref_uvds), each a
-        list over levels of NHWC tensors.
+        list over levels of NHWC tensors. ``select_idx`` (optional list of
+        per-level (N, K) flat spatial indices) restricts the recursive-
+        update re-sampling to those points (see DASHead.forward_single).
         """
         feats = self.extract_feat(img, train)
-        return self.head_mod(feats, train)
+        return self.head_mod(feats, train, select_idx)
 
     def loss(self, img: jnp.ndarray, targets: Dict[str, jnp.ndarray],
              max_pos: int = 1024) -> Dict[str, jnp.ndarray]:
-        """Training forward + loss (ref das.py:17-32)."""
+        """Training forward + loss (ref das.py:17-32).
+
+        With ``train_cfg.sparse_refine`` the recursive-update re-sampling
+        runs only at the assigned positive points: the loss gathers at
+        most ``max_pos`` positives (flat-order prefix, see
+        ``DASHead.loss``), each level's first-``max_pos`` positives are a
+        superset of that prefix's per-level slice, and the refined value
+        at a point depends only on that point — so losses and gradients
+        are bitwise those of the dense computation.
+        """
+        select = None
+        if dict(self.train_cfg or {}).get('sparse_refine'):
+            import jax
+            labels = targets['labels']
+            N = img.shape[0]
+            n_levels = len(self.bbox_head.get('strides', (8, 16, 32, 64)))
+            bg = self.head_mod.bg_label
+            select, begin = [], 0
+            for i in range(n_levels):
+                n = (img.shape[1] // (4 * 2 ** i)) * \
+                    (img.shape[2] // (4 * 2 ** i))
+                lab = labels[begin:begin + N * n].reshape(N, n)
+                begin += N * n
+                if n <= max_pos:
+                    select.append(None)      # sparse would cover all points
+                    continue
+                pos = jnp.where(lab < bg, 1.0, 0.0)
+                _, idx = jax.lax.top_k(pos, max_pos)
+                select.append(idx)
         cls_scores, pose_preds, centernesses, ref_uvds = self(
-            img, train=True)
+            img, train=True, select_idx=select)
         return self.head_mod.loss(cls_scores, pose_preds, centernesses,
                                   ref_uvds, targets, max_pos=max_pos)
 

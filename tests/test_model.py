@@ -212,3 +212,34 @@ def test_sparse_refine_decode_identical(tiny_model):
         np.testing.assert_array_equal(
             np.asarray(outs['dense'][k]), np.asarray(outs['sparse'][k]),
             err_msg=k)
+
+
+@pytest.mark.slow
+def test_sparse_refine_train_loss_identical(tiny_model):
+    """train_cfg.sparse_refine must leave every loss bitwise unchanged:
+    the loss gathers a flat-order prefix of at most max_pos positives and
+    each level's first-max_pos positives are a superset of that prefix's
+    per-level slice."""
+    from das_tpu.core.targets import get_targets
+    model, variables = tiny_model
+    head = TINY_MODEL['bbox_head']
+    batch = _fake_batch()
+    targets = get_targets(
+        FEATMAPS, head['strides'], head['regress_ranges'],
+        batch['gt_poses_3d'], batch['gt_centers2d'], batch['gt_depths'],
+        batch['gt_valid'], J)
+
+    mc = dict(TINY_MODEL)
+    mc['train_cfg'] = dict(TINY_MODEL['train_cfg'], sparse_refine=True)
+    model_sp = build_model(mc)
+
+    # max_pos < level-0 points (384) so level 0 actually goes sparse
+    out = {}
+    for name, m in [('dense', model), ('sparse', model_sp)]:
+        losses, _ = m.apply(variables, batch['img'], targets, 24,
+                            method=type(m).loss, mutable=['batch_stats'])
+        out[name] = losses
+    for k in out['dense']:
+        np.testing.assert_array_equal(
+            np.asarray(out['dense'][k]), np.asarray(out['sparse'][k]),
+            err_msg=k)
