@@ -63,23 +63,50 @@ def main():
     jax.block_until_ready(out)
     jax.profiler.stop_trace()
 
-    # parse xplane -> op profile via the tensorboard plugin
-    xplanes = glob.glob(
-        f'{args.logdir}/plugins/profile/*/*.xplane.pb')
-    assert xplanes, f'no xplane under {args.logdir}'
-    xplane = xplanes[0]
-    from tensorboard_plugin_profile.convert import raw_to_tool_data as rtd
-    data, _ = rtd.xspace_to_tool_data([xplane], 'framework_op_stats', {})
-    if isinstance(data, bytes):
-        data = data.decode()
-    rows = json.loads(data) if data.lstrip().startswith('[') else None
-    if rows is None:
-        # gviz csv fallback
-        print(data[:2000])
-        return
+    # parse the Chrome-trace json directly (the tensorboard-plugin-profile
+    # parse path is broken by a protobuf version mismatch in this image)
+    import gzip
+    import re
+    from collections import defaultdict
+    traces = glob.glob(f'{args.logdir}/plugins/profile/*/*.trace.json.gz')
+    assert traces, f'no trace under {args.logdir}'
+    with gzip.open(traces[0]) as f:
+        evs = json.load(f)['traceEvents']
+    # TPU pid / "XLA Ops" tid
+    tpu_pid = next(e['pid'] for e in evs
+                   if e.get('ph') == 'M' and e.get('name') == 'process_name'
+                   and 'TPU' in str(e['args'].get('name', '')))
+    ops_tid = next(e['tid'] for e in evs
+                   if e.get('ph') == 'M' and e.get('name') == 'thread_name'
+                   and e.get('pid') == tpu_pid
+                   and e['args'].get('name') == 'XLA Ops')
+    ops = [e for e in evs if e.get('ph') == 'X'
+           and e.get('pid') == tpu_pid and e.get('tid') == ops_tid]
 
-    # rows: list of dicts with 'category'/'operation'/'total_self_time'...
-    print(json.dumps(rows[:3], indent=1)[:1500])
+    by_src = defaultdict(float)
+    by_name = defaultdict(lambda: [0, 0.0])
+    total = 0.0
+    for e in ops:
+        a = e.get('args', {})
+        src = a.get('source', '?')
+        frames = [ln for ln in a.get('source_stack', '').split('\n') if ln]
+        # most informative frame: deepest das_tpu frame
+        das = [f for f in frames if '/das_tpu/' in f]
+        key = (das[0] if das else src).split('/')[-1]
+        by_src[key] += e['dur']
+        by_name[e['name']][0] += 1
+        by_name[e['name']][1] += e['dur']
+        total += e['dur']
+
+    print(f'\n== time by source line (3 runs, total {total / 3e3:.1f} '
+          f'ms/run) ==')
+    for k, v in sorted(by_src.items(), key=lambda kv: -kv[1])[:args.top]:
+        print(f'{k[:64]:64s} {v / 3e3:9.2f} ms/run {100 * v / total:5.1f}%')
+
+    print('\n== top individual ops ==')
+    rows = sorted(by_name.items(), key=lambda kv: -kv[1][1])[:args.top]
+    for k, (c, v) in rows:
+        print(f'{k[:48]:48s} x{c:<4d} {v / 3e3:9.2f} ms/run')
 
 
 if __name__ == '__main__':

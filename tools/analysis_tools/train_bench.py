@@ -6,6 +6,7 @@ JSON line with step time and img/s. Run during quiet chip windows.
 """
 
 import argparse
+import functools
 import json
 import os
 import sys
@@ -73,7 +74,7 @@ def main():
     # the chip). The optimizer state carries the loop dependency.
     iters = args.iters
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def run_group(state, batch):
         def body(_, s):
             s, _m = step_fn(s, batch)
