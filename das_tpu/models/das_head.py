@@ -75,6 +75,11 @@ class DASHead(nn.Module):
     cls_branch: Sequence[int] = (256,)
     reg_branch: Sequence[Sequence[int]] = ((256,), (256,), (256,), (256,))
     dcn_on_last_conv: bool = True
+    # DCN tap-fetch lowering for the tower convs ('patch'/'clip'/'fill'/
+    # 'one_hot' are bit-equal; 'shift' is the gather-free streaming mode,
+    # exact while learned offsets stay within +-dcn_shift_radius px)
+    dcn_gather_mode: str = 'patch'
+    dcn_shift_radius: int = 2
     conv_bias: Any = True
     norm_cfg: Optional[dict] = None
     recursive_update: Optional[dict] = None
@@ -105,7 +110,9 @@ class DASHead(nn.Module):
         # (ref anchor_free_mono3d_pose_head.py:92-98, das_head.py:86-92)
         init01 = nn.initializers.normal(0.01)
         kw = dict(norm_cfg=norm_cfg, bias=self.conv_bias, dtype=self.dtype,
-                  axis_name=self.axis_name, kernel_init=init01)
+                  axis_name=self.axis_name, kernel_init=init01,
+                  dcn_gather_mode=self.dcn_gather_mode,
+                  dcn_shift_radius=self.dcn_shift_radius)
         # fine-grained remat: each ConvModule is its own region, so the
         # backward holds one conv's activations at a time (level-level
         # remat still peaked >16G at B=4 512x960)
@@ -150,6 +157,8 @@ class DASHead(nn.Module):
         ru = dict(self.recursive_update or {})
         ru.setdefault('num_joints', self.num_joints)
         ru.setdefault('remat', self.remat)
+        ru.setdefault('dcn_gather_mode', self.dcn_gather_mode)
+        ru.setdefault('dcn_shift_radius', self.dcn_shift_radius)
         self.recursive_update_branch = RecursiveUpdateBranch(
             dtype=self.dtype, **ru)
         self.prev_loss = ru.get('prev_loss', False)

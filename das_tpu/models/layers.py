@@ -57,8 +57,11 @@ class DeformConv2d(nn.Module):
     use_bias: bool = True
     kernel_init: Any = None
     # 'patch' fetches each tap's 2x2 corner window as ONE slice-gather:
-    # measured ~30% faster than per-corner row gathers, bit-identical
+    # measured ~30% faster than per-corner row gathers, bit-identical.
+    # 'shift' trades the gather for dense shifted multiply-adds (streaming
+    # HBM reads); exact only while offsets stay within +-shift_radius px.
     gather_mode: str = 'patch'
+    shift_radius: int = 2
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -86,7 +89,8 @@ class DeformConv2d(nn.Module):
             mask.astype(self.dtype), weight.astype(self.dtype),
             None if bias is None else bias.astype(self.dtype),
             kernel_size=k, padding=self.padding,
-            gather_mode=self.gather_mode)
+            gather_mode=self.gather_mode,
+            shift_radius=self.shift_radius)
 
 
 class ConvModule(nn.Module):
@@ -106,6 +110,7 @@ class ConvModule(nn.Module):
     act: Optional[str] = 'relu'
     dcn: bool = False
     dcn_gather_mode: str = 'patch'
+    dcn_shift_radius: int = 2
     kernel_init: Any = None
     dtype: Dtype = jnp.float32
     axis_name: Optional[str] = None
@@ -123,6 +128,7 @@ class ConvModule(nn.Module):
                              use_bias=use_bias,
                              kernel_init=kinit,
                              gather_mode=self.dcn_gather_mode,
+                             shift_radius=self.dcn_shift_radius,
                              dtype=self.dtype,
                              name='conv')(x)
         else:

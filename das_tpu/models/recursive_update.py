@@ -289,6 +289,8 @@ class NextLevelOffset(nn.Module):
     num_joints: int
     num_heads: int
     dim: int = 3
+    dcn_gather_mode: str = 'patch'
+    dcn_shift_radius: int = 2
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -297,6 +299,8 @@ class NextLevelOffset(nn.Module):
         J, Hd, D = self.num_joints, self.num_heads, self.dim
         upd = ConvModule(feat.shape[-1], 3, 1, 1, dcn=True,
                          norm_cfg=dict(type='GN', num_groups=32),
+                         dcn_gather_mode=self.dcn_gather_mode,
+                         dcn_shift_radius=self.dcn_shift_radius,
                          dtype=self.dtype,
                          name='update_feat_conv')(feat, train)
         feat = feat + upd
@@ -320,6 +324,8 @@ class RecursiveUpdateLayer(nn.Module):
     num_heads: int
     dim: int = 3
     gather_mode: str = 'auto'
+    dcn_gather_mode: str = 'patch'
+    dcn_shift_radius: int = 2
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -327,7 +333,8 @@ class RecursiveUpdateLayer(nn.Module):
                  train: bool = False, select_idx=None):
         feat, offset, samp_off, samp_conf = NextLevelOffset(
             num_joints=self.num_joints, num_heads=self.num_heads,
-            dim=self.dim, dtype=self.dtype,
+            dim=self.dim, dcn_gather_mode=self.dcn_gather_mode,
+            dcn_shift_radius=self.dcn_shift_radius, dtype=self.dtype,
             name='next_level_offset')(feat, prev_offset, train)
         if select_idx is None:
             new_offset = _offset_sample(
@@ -360,6 +367,8 @@ class RecursiveUpdateBranch(nn.Module):
     prev_loss: bool = True       # consumed by the loss, kept for config parity
     remat: bool = False          # rematerialise each layer under grad
     gather_mode: str = 'auto'    # gather lowering for the offset sampling
+    dcn_gather_mode: str = 'patch'   # tap-fetch lowering for the DCN convs
+    dcn_shift_radius: int = 2
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -375,6 +384,8 @@ class RecursiveUpdateBranch(nn.Module):
             feat, offset = layer_cls(
                 num_joints=self.num_joints, num_heads=self.num_heads,
                 dim=self.dim, gather_mode=self.gather_mode,
+                dcn_gather_mode=self.dcn_gather_mode,
+                dcn_shift_radius=self.dcn_shift_radius,
                 dtype=self.dtype,
                 name=f'layer_{i}')(feat, offset, train, sel)
         return offset

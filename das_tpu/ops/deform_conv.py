@@ -28,7 +28,8 @@ def modulated_deform_conv(x: jnp.ndarray,
                           bias: jnp.ndarray = None,
                           kernel_size: int = 3,
                           padding: int = 1,
-                          gather_mode: str = 'patch') -> jnp.ndarray:
+                          gather_mode: str = 'patch',
+                          shift_radius: int = 2) -> jnp.ndarray:
     """DCNv2 forward, stride 1, dilation 1, deform_groups 1, NHWC.
 
     Args:
@@ -37,12 +38,23 @@ def modulated_deform_conv(x: jnp.ndarray,
         mask:   (N, H, W, K*K)   — already sigmoid-activated
         weight: (K, K, Cin, Cout)
         bias:   (Cout,) or None
+        gather_mode: XLA lowering for the deformed-tap fetch. ``'patch'``/
+            ``'clip'``/``'fill'``/``'one_hot'`` are bit-equal gather
+            formulations; ``'shift'`` replaces the random-access gather
+            with dense shifted multiply-adds (streaming reads at full HBM
+            bandwidth) and is exact iff every offset lies in
+            ``[-shift_radius, shift_radius]`` — offsets are clamped to
+            that box, so larger learned offsets saturate.
     Returns:
         (N, H, W, Cout)
     """
     N, H, W, Cin = x.shape
     K = kernel_size
     Cout = weight.shape[-1]
+
+    if gather_mode == 'shift':
+        return _deform_conv_shift(x, offset, mask, weight, bias,
+                                  K, padding, shift_radius)
 
     # Base grid of output pixel centres. Coordinate math stays f32 even in
     # bf16 mode (bf16 coords >= 128 lose the fractional part entirely).
@@ -70,6 +82,54 @@ def modulated_deform_conv(x: jnp.ndarray,
     return out
 
 
+def _deform_conv_shift(x: jnp.ndarray,
+                       offset: jnp.ndarray,
+                       mask: jnp.ndarray,
+                       weight: jnp.ndarray,
+                       bias: jnp.ndarray,
+                       K: int,
+                       padding: int,
+                       radius: int) -> jnp.ndarray:
+    """DCNv2 via dense shifted multiply-adds (no gathers).
+
+    Each tap's bilinear sample is the hat-function expansion
+    ``tap(p) = sum_d hat(dy - δy(p)) * hat(dx - δx(p)) * x(p + d)`` over
+    integer displacements ``d``; with the per-tap offset clamped to
+    ``[-radius, radius]`` the sum is exact over a static
+    ``(2*radius+2)^2`` window, and every ``x(p + d)`` is a static slice
+    of the zero-padded map — pure streaming VPU work instead of
+    per-row DMA gathers. Zeros padding outside the image falls out of
+    the zero pad. Same semantics as the gather modes whenever the true
+    offsets fit in the radius box.
+    """
+    N, H, W, Cin = x.shape
+    Cout = weight.shape[-1]
+    # pad enough that every shifted window is a legal static slice
+    P = padding + radius + 1
+    xp = jnp.pad(x, ((0, 0), (P, P), (P, P), (0, 0)))
+    out = jnp.zeros((N, H, W, Cout), x.dtype) if bias is None else \
+        jnp.broadcast_to(bias.astype(x.dtype), (N, H, W, Cout))
+    r = float(radius)
+    for k in range(K * K):
+        kh, kw = divmod(k, K)
+        dy = jnp.clip(offset[..., 2 * k].astype(jnp.float32), -r, r) \
+            + (kh - padding)                                   # (N,H,W)
+        dx = jnp.clip(offset[..., 2 * k + 1].astype(jnp.float32), -r, r) \
+            + (kw - padding)
+        acc = jnp.zeros((N, H, W, Cin), x.dtype)
+        for iy in range(kh - padding - radius, kh - padding + radius + 2):
+            wy = jnp.maximum(0.0, 1.0 - jnp.abs(iy - dy))
+            for ix in range(kw - padding - radius,
+                            kw - padding + radius + 2):
+                w = wy * jnp.maximum(0.0, 1.0 - jnp.abs(ix - dx))
+                acc = acc + xp[:, iy + P:iy + P + H, ix + P:ix + P + W] \
+                    * w.astype(x.dtype)[..., None]
+        acc = acc * mask[..., k:k + 1]
+        out = out + jnp.einsum('nhwc,co->nhwo', acc, weight[kh, kw],
+                               preferred_element_type=x.dtype)
+    return out
+
+
 def dcn_v2(x: jnp.ndarray,
            offset_weight: jnp.ndarray,
            offset_bias: jnp.ndarray,
@@ -77,7 +137,8 @@ def dcn_v2(x: jnp.ndarray,
            bias: jnp.ndarray = None,
            kernel_size: int = 3,
            padding: int = 1,
-           gather_mode: str = 'patch') -> jnp.ndarray:
+           gather_mode: str = 'patch',
+           shift_radius: int = 2) -> jnp.ndarray:
     """Full DCNv2 pack: compute offsets/mask with a plain conv, then deform.
 
     Args:
@@ -101,4 +162,5 @@ def dcn_v2(x: jnp.ndarray,
     mask = jax.nn.sigmoid(raw[..., 2 * KK:])
     return modulated_deform_conv(x, offset, mask, weight, bias,
                                  kernel_size, padding,
-                                 gather_mode=gather_mode)
+                                 gather_mode=gather_mode,
+                                 shift_radius=shift_radius)

@@ -117,6 +117,45 @@ def test_modulated_deform_conv_matches_reference():
         np.asarray(ours).transpose(0, 3, 1, 2), ref, atol=1e-4)
 
 
+def test_deform_conv_shift_mode_matches_gather():
+    """'shift' (dense shifted MACs) == gather modes for in-radius offsets.
+
+    The shift lowering is exact whenever every learned offset lies in
+    [-radius, radius]; out-of-radius offsets saturate at the box edge,
+    which the second check pins (clamped gather == shift).
+    """
+    rng = np.random.RandomState(7)   # private: don't shift the shared stream
+    n, cin, cout, h, w = 2, 3, 4, 6, 7
+    x = rng.randn(n, h, w, cin).astype(np.float32)
+    mask = 1 / (1 + np.exp(-rng.randn(n, h, w, 9).astype(np.float32)))
+    weight = rng.randn(3, 3, cin, cout).astype(np.float32) * 0.2
+    bias = rng.randn(cout).astype(np.float32)
+
+    for radius in (1, 2):
+        offset = (rng.rand(n, h, w, 18).astype(np.float32) * 2 - 1) * radius
+        ref = modulated_deform_conv(
+            jnp.asarray(x), jnp.asarray(offset), jnp.asarray(mask),
+            jnp.asarray(weight), jnp.asarray(bias), gather_mode='patch')
+        got = modulated_deform_conv(
+            jnp.asarray(x), jnp.asarray(offset), jnp.asarray(mask),
+            jnp.asarray(weight), jnp.asarray(bias), gather_mode='shift',
+            shift_radius=radius)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=2e-5)
+
+    # out-of-radius offsets: shift == gather on the pre-clamped offsets
+    big = (rng.rand(n, h, w, 18).astype(np.float32) * 2 - 1) * 5.0
+    clamped = np.clip(big, -2.0, 2.0)
+    ref = modulated_deform_conv(
+        jnp.asarray(x), jnp.asarray(clamped), jnp.asarray(mask),
+        jnp.asarray(weight), jnp.asarray(bias), gather_mode='patch')
+    got = modulated_deform_conv(
+        jnp.asarray(x), jnp.asarray(big), jnp.asarray(mask),
+        jnp.asarray(weight), jnp.asarray(bias), gather_mode='shift',
+        shift_radius=2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+
 def test_dcn_v2_zero_offsets_equals_plain_conv():
     """With conv_offset weights at 0 (the init), DCNv2 == plain 3x3 conv."""
     n, cin, cout, h, w = 2, 4, 5, 6, 7

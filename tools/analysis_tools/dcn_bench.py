@@ -125,6 +125,14 @@ def main():
     print(f'per-tap gather DCN:  {t * 1e3:7.2f} ms  '
           f'({flops / t / 1e12:6.1f} TFLOP/s)')
 
+    # ------------------------------------------------ dense-shift DCN
+    for radius in (1, 2, 3):
+        sh = jax.jit(lambda x, o, m, w, r=radius: modulated_deform_conv(
+            x, o, m, w, gather_mode='shift', shift_radius=r))
+        t = timed(sh, [x, offset, mask, weight])
+        print(f'shift DCN r={radius}:       {t * 1e3:7.2f} ms  '
+              f'({flops / t / 1e12:6.1f} TFLOP/s)')
+
     # ------------------------------------------------ stacked-taps
     def stacked(x, o, m, w):
         ys = jnp.arange(H, dtype=jnp.float32)[None, :, None]
