@@ -142,7 +142,8 @@ def test_decode_batch_shapes(tiny_model):
 def test_config_build_all():
     """Reference-style config-build sweep (SURVEY.md §4): every DAS config
     must parse and produce a model whose full variable tree materialises."""
-    for path in ['configs/das/exp_panoptic.py', 'configs/das/exp_mupots.py']:
+    for path in ['configs/das/exp_panoptic.py', 'configs/das/exp_mupots.py',
+                 'configs/das/exp_panoptic_tpu.py']:
         cfg = Config.fromfile(path)
         model = build_model(dict(cfg.model))
         img = jnp.zeros((1, 64, 64, 3), jnp.float32)

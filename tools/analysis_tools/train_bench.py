@@ -17,6 +17,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..', '..'))
 
 def main():
     ap = argparse.ArgumentParser()
+    ap.add_argument('--config', default='configs/das/exp_panoptic.py')
     ap.add_argument('--batch', type=int, default=16)
     ap.add_argument('--height', type=int, default=512)
     ap.add_argument('--width', type=int, default=960)
@@ -37,7 +38,7 @@ def main():
                                              make_train_step,
                                              mspn_frozen_prefixes)
 
-    cfg = Config.fromfile('configs/das/exp_panoptic.py')
+    cfg = Config.fromfile(args.config)
     model = build_model(dict(cfg.model), dtype=jnp.bfloat16)
     B, H, W = args.batch, args.height, args.width
     variables = dict(model.init_all(jax.random.PRNGKey(0),
