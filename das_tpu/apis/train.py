@@ -185,21 +185,38 @@ def train_model(cfg: Config,
     state = replicate(state, mesh)
 
     # ---------------- loop
+    # Two pipelining rules keep the device fed:
+    #  * the step counter lives on the HOST (int(state.step) every
+    #    iteration would block on the step's completion — with the jitted
+    #    step being async-dispatched that sync serializes compute with
+    #    dispatch latency and the input pipeline);
+    #  * batches are device_put one step AHEAD (device_put is async, so
+    #    the H2D transfer of batch N+1 overlaps the compute of batch N).
+    def prefetch_to_mesh(it, depth=2):
+        from collections import deque
+        q = deque()
+        for item in it:
+            q.append(shard_batch(item, mesh))
+            if len(q) >= depth:
+                yield q.popleft()
+        while q:
+            yield q.popleft()
+
+    host_step = int(state.step)          # resume-aware
     t_last = time.perf_counter()
-    for batch in loader:
-        if int(state.step) >= total_steps:
+    for batch in prefetch_to_mesh(loader):
+        if host_step >= total_steps:
             break
-        batch = shard_batch(batch, mesh)
         state, metrics = step_fn(state, batch)
-        step = int(state.step)
-        logger.log(step, metrics, batch_size,
+        host_step += 1
+        logger.log(host_step, metrics, batch_size,
                    time.perf_counter() - t_last)
         t_last = time.perf_counter()
-        if step % steps_per_epoch == 0:
-            manager.save(state, step)
-            epoch = step // steps_per_epoch
+        if host_step % steps_per_epoch == 0:
+            manager.save(state, host_step)
+            epoch = host_step // steps_per_epoch
             if eval_dataset is not None and eval_interval and \
                     epoch % eval_interval == 0:
                 run_eval(state)
-    manager.save(state, int(state.step))
+    manager.save(state, host_step)
     return state
