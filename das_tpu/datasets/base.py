@@ -7,13 +7,57 @@ framework-native base class. Subclasses implement ``_parse_ann_info``.
 
 from __future__ import annotations
 
+import json
 import os
+from collections import defaultdict
 from typing import Any, Dict, List, Optional, Sequence
 
 import numpy as np
 
 from .coco_index import CocoIndex
 from .pipelines import Compose
+
+
+def coco_keypoint_results_kernel(keypoints: List[List[Dict]],
+                                 num_joints: int, cat_id: int = 1):
+    """Flatten per-image person dicts into COCO-keypoint result entries
+    (ref cmupanoptic_mono_dataset.py:329-359 /
+    mupots_3dhp.py `_coco_keypoint_results_one_category_kernel`):
+    each entry carries image_id, category_id, a flat 3J keypoint list,
+    score, and an xywh bbox from the keypoint extent."""
+    cat_results = []
+    for img_kpts in keypoints:
+        if len(img_kpts) == 0:
+            continue
+        key_points = np.array(
+            [k['keypoints'] for k in img_kpts]).reshape(-1, num_joints * 3)
+        for img_kpt, key_point in zip(img_kpts, key_points):
+            kpt = key_point.reshape((num_joints, 3))
+            left_top = np.amin(kpt, axis=0)
+            right_bottom = np.amax(kpt, axis=0)
+            w = right_bottom[0] - left_top[0]
+            h = right_bottom[1] - left_top[1]
+            cat_results.append({
+                'image_id': img_kpt['image_id'],
+                'category_id': cat_id,
+                'keypoints': key_point.tolist(),
+                'score': float(img_kpt['score']),
+                'bbox': np.array(
+                    [left_top[0], left_top[1], w, h]).tolist(),
+            })
+    return cat_results
+
+
+def write_coco_keypoint_results(results: List[Dict], res_file: str):
+    """Write the reference's interchange artifact (result_keypoints.json,
+    ref cmupanoptic_mono_dataset.py:314-327): sort_keys + indent=4 so a
+    das_tpu run is file-level diffable against a reference run."""
+    d = os.path.dirname(res_file)
+    if d:
+        os.makedirs(d, exist_ok=True)
+    with open(res_file, 'w') as f:
+        json.dump(results, f, sort_keys=True, indent=4)
+    return results
 
 
 class BasePoseDataset:
@@ -99,6 +143,42 @@ class BasePoseDataset:
         results = dict(img_info=self.data_infos[idx], ann_info=n_ann)
         self.pre_pipeline(results)
         return self.pipeline(results)
+
+    # ------------------------------------------------- result formatting
+    def _result_image_id(self, image_path: str) -> int:
+        """Map an output image path back to its COCO image id."""
+        return self.name2id[os.path.basename(image_path)]
+
+    def format_results(self, outputs: List[Dict], res_folder: str = None,
+                       res_file: str = None):
+        """Write the reference's COCO-keypoint result json
+        (``result_keypoints.json``; ref cmupanoptic_mono_dataset.py:267-327,
+        mupots_3dhp.py:195-258) and return (entries, path).
+
+        Unlike the reference — which unconditionally writes to ``tmp/``
+        inside ``evaluate`` — writing here is explicit: call this method
+        (or pass ``res_folder=`` to ``evaluate`` / ``--format-only`` /
+        ``--res-folder`` in tools/test.py)."""
+        if res_file is None:
+            res_file = os.path.join(res_folder or 'tmp',
+                                    'result_keypoints.json')
+        J = self.num_joints
+        kpts = defaultdict(list)
+        for out in outputs:
+            image_id = self._result_image_id(out['image_paths'][0])
+            poses = np.asarray(out['poses'], np.float64)[:, :J]
+            scores = np.asarray(out['scores'], np.float64).reshape(-1)
+            vis = (np.asarray(out['vis'], np.float64)[:, :J]
+                   if 'vis' in out else np.ones((len(poses), J)))
+            for p, kpt in enumerate(poses):
+                area = float((np.max(kpt[:, 0]) - np.min(kpt[:, 0])) *
+                             (np.max(kpt[:, 1]) - np.min(kpt[:, 1])))
+                kpts[image_id].append(dict(
+                    keypoints=kpt[:, 0:3], score=float(scores[p]),
+                    vis=vis[p], image_id=image_id, area=area))
+        entries = coco_keypoint_results_kernel(list(kpts.values()), J)
+        write_coco_keypoint_results(entries, res_file)
+        return entries, res_file
 
     def __getitem__(self, idx: int):
         if self.test_mode:

@@ -392,11 +392,20 @@ class MuPots3DHP(BasePoseDataset):
             cam=cam)
 
     # ------------------------------------------------------- evaluation
+    def _result_image_id(self, image_path):
+        # name2id is keyed by data_root-relative path (TS#/img_xxx.jpg),
+        # mirroring ref mupots_3dhp.py:209-215
+        data_root = self.data_root if self.data_root.endswith('/') \
+            else self.data_root + '/'
+        return self.name2id[image_path.replace(data_root, '')]
+
     def evaluate(self, outputs: List[Dict], metric='pck', eval_mode='all',
-                 **kwargs):
+                 res_folder=None, **kwargs):
         metrics = metric if isinstance(metric, list) else [metric]
         assert all(m.lower() == 'pck' for m in metrics)
         J = self.num_joints
+        if res_folder is not None:
+            self.format_results(outputs, res_folder=res_folder)
         data_root = self.data_root if self.data_root.endswith('/') \
             else self.data_root + '/'
 
@@ -457,6 +466,17 @@ class MuPots3DHP(BasePoseDataset):
         # extended surface: per-sequence table, per-group breakdown, AUC
         # (collected by the reference's mpii_compute_3d_pck :436-473 but
         # only the two means are printed; we surface all of it).
+        group_hdr = '  '.join(f'{name:>8s}' for name, _ in JOINT_GROUPS)
+        print(f'{"Seq":>5s}  {group_hdr}  {"All":>8s}  {"All_abs":>8s}'
+              f'  {"AUC":>6s}')
+        for s, (row, row_abs, auc_row) in enumerate(
+                zip(pck_array, pck_array_abs, auc_array)):
+            groups = '  '.join(f'{100 * v:8.2f}' for v in row[:-1])
+            print(f'TS{s + 1:<3d}  {groups}  {100 * row[-1]:8.2f}'
+                  f'  {100 * row_abs[-1]:8.2f}'
+                  f'  {100 * float(np.mean(auc_row)):6.2f}')
+        print(f'{"mean":>5s}  {"":{len(group_hdr)}s}  {100 * pck_mean:8.2f}'
+              f'  {100 * pck_mean_abs:8.2f}')
         for s, row in enumerate(pck_array):
             out[f'pck_TS{s + 1}'] = float(row[-1])
         group_names = [name for name, _ in JOINT_GROUPS]

@@ -146,14 +146,19 @@ class CMUPanopticDataset(BasePoseDataset):
     def mse(preds, gts, vis):
         return np.sqrt(((preds[vis > 0] - gts[vis > 0]) ** 2).sum(axis=-1))
 
-    def evaluate(self, outputs: List[Dict], metric='mpjpe', **kwargs):
+    def evaluate(self, outputs: List[Dict], metric='mpjpe',
+                 res_folder=None, **kwargs):
         """Root-aligned MPJPE in mm (ref :267-424).
 
         ``outputs`` entries: poses (P,J,3) np, scores (P,), image_paths.
-        """
+        ``res_folder``: when set, also write the reference's
+        ``result_keypoints.json`` interchange file there (ref :274,:314-327
+        always writes; here it is opt-in)."""
         metrics = metric if isinstance(metric, list) else [metric]
         assert all(m.lower() == 'mpjpe' for m in metrics)
         J = self.num_joints
+        if res_folder is not None:
+            self.format_results(outputs, res_folder=res_folder)
 
         results_by_image = defaultdict(list)
         for out in outputs:

@@ -333,7 +333,8 @@ class GlobalRotScaleTransPose:
     def __init__(self, rot_range=(-0.78539816, 0.78539816),
                  scale_ratio_range=(0.95, 1.05), translation_std=(0, 0),
                  num_joints=None, scale_depth=False, abs_dz=False,
-                 img_norm_cfg=None, use_bbox_center=False, **kwargs):
+                 img_norm_cfg=None, use_bbox_center=False,
+                 abs_dz_ref_compat=False, **kwargs):
         if not isinstance(rot_range, (list, tuple, np.ndarray)):
             rot_range = [-rot_range, rot_range]
         self.rot_range = rot_range
@@ -342,6 +343,17 @@ class GlobalRotScaleTransPose:
         self.num_joints = num_joints
         self.scale_depth = scale_depth
         self.abs_dz = abs_dz
+        # DELIBERATE DEVIATION (recorded decision, see docs/migration.md and
+        # tests/test_datasets.py::test_grst_abs_dz_deviation_from_reference):
+        # the reference (transforms_3d.py:1000-1003) writes
+        # `joints_depth[0] *= scale` on a (batch, J+1, 1) array — i.e. it
+        # scales ALL joint depths of the FIRST PERSON only, which contradicts
+        # its own documented abs_dz intent (root depth absolute, joint dz
+        # relative; transforms_3d.py:21-24 / ResizePose) and is almost
+        # certainly an indexing bug. We scale the ROOT depth of EVERY person
+        # (`joints_depth[:, 0]`). Set abs_dz_ref_compat=True to reproduce the
+        # reference's literal behavior for recipe-exact training runs.
+        self.abs_dz_ref_compat = abs_dz_ref_compat
         if abs_dz:
             assert scale_depth
         if img_norm_cfg is not None:
@@ -385,6 +397,9 @@ class GlobalRotScaleTransPose:
         if self.scale_depth:
             if not self.abs_dz:
                 joints_depth = joints_depth * scale
+            elif self.abs_dz_ref_compat:
+                # reference-literal: first PERSON's depths (see __init__ note)
+                joints_depth[0] = joints_depth[0] * scale
             else:
                 # abs_dz: only the root (index 0 = center) depth scales
                 joints_depth[:, 0] = joints_depth[:, 0] * scale

@@ -93,6 +93,41 @@ def test_panoptic_evaluate_perfect(panoptic_ds):
     assert res['mpjpe_mm'] < 1e-3, res
 
 
+def test_panoptic_format_results_writes_reference_json(panoptic_ds,
+                                                       tmp_path):
+    """result_keypoints.json must carry the reference's entry schema
+    (ref cmupanoptic_mono_dataset.py:314-359): image_id, category_id=1,
+    flat 3J keypoints, score, xywh bbox from the keypoint extent."""
+    outputs = []
+    for idx in range(len(panoptic_ds)):
+        ann = panoptic_ds.get_ann_info(idx)
+        poses = ann['gt_poses_3d'][:, 3:3 + 3 * J].reshape(-1, J, 3).copy()
+        outputs.append(dict(
+            poses=poses, vis=np.ones((len(poses), J)),
+            scores=[0.9] * len(poses),
+            image_paths=[panoptic_ds.data_infos[idx]['file_name']]))
+    res_folder = str(tmp_path / 'res')
+    entries, res_file = panoptic_ds.format_results(outputs,
+                                                   res_folder=res_folder)
+    assert res_file == os.path.join(res_folder, 'result_keypoints.json')
+    with open(res_file) as f:
+        loaded = json.load(f)
+    assert loaded == entries
+    assert len(loaded) == sum(len(o['poses']) for o in outputs)
+    e = loaded[0]
+    assert set(e) == {'image_id', 'category_id', 'keypoints', 'score',
+                      'bbox'}
+    assert e['category_id'] == 1 and len(e['keypoints']) == 3 * J
+    kpt = np.array(e['keypoints']).reshape(J, 3)
+    np.testing.assert_allclose(
+        e['bbox'], [kpt[:, 0].min(), kpt[:, 1].min(),
+                    np.ptp(kpt[:, 0]), np.ptp(kpt[:, 1])])
+    # evaluate(res_folder=...) writes the same artifact
+    res2 = str(tmp_path / 'res2')
+    panoptic_ds.evaluate(outputs, res_folder=res2)
+    assert os.path.isfile(os.path.join(res2, 'result_keypoints.json'))
+
+
 def make_coco_json(tmpdir):
     rng = np.random.RandomState(1)
     kpts = np.zeros((17, 3))
@@ -202,6 +237,53 @@ def test_affine_identity_when_no_aug():
     assert out is not None
     np.testing.assert_allclose(
         out['gt_poses_3d'][:, :3 + 45], joints0[:, :3 + 45], atol=1e-3)
+
+
+def test_grst_abs_dz_deviation_from_reference():
+    """Pin the DELIBERATE abs_dz deviation (ref transforms_3d.py:1000-1003).
+
+    The reference executes ``joints_depth[0] *= scale`` on a
+    (batch, J+1, 1) array — scaling every joint depth of the FIRST
+    PERSON, contradicting its own documented abs_dz semantics (root
+    absolute, joint dz relative). This repo scales the ROOT depth of
+    EVERY person by default, and reproduces the reference's literal
+    behavior only under ``abs_dz_ref_compat=True``. If either branch
+    silently changes, this test fails.
+    """
+    J, scale = 15, 1.2
+
+    def reference_depth_update(depth, s):
+        # independent transcription of transforms_3d.py:996-1003
+        d = depth.copy()          # (batch, J+1, 1)
+        d[0] = d[0] * s           # first PERSON, all its joints
+        return d
+
+    def make(**kw):
+        t = GlobalRotScaleTransPose(
+            rot_range=[0, 0], scale_ratio_range=[scale, scale],
+            translation_std=[0, 0], num_joints=J, scale_depth=True,
+            abs_dz=True, **kw)
+        out = t(_fake_results())
+        assert out is not None
+        return out['gt_poses_3d'][:, :3 + J * 3] \
+            .reshape(-1, J + 1, 3)[..., 2]
+
+    depth_in = _fake_results()['gt_poses_3d'][:, :3 + J * 3] \
+        .reshape(-1, J + 1, 3)[..., [2]]
+
+    # default: root depth of every person scales, joint dz unchanged
+    d_repo = make()
+    expect_repo = depth_in[..., 0].copy()
+    expect_repo[:, 0] *= scale
+    np.testing.assert_allclose(d_repo, expect_repo, rtol=1e-6)
+
+    # ref_compat: bit-match the transcribed reference behavior
+    d_ref = make(abs_dz_ref_compat=True)
+    np.testing.assert_allclose(
+        d_ref, reference_depth_update(depth_in, scale)[..., 0], rtol=1e-6)
+
+    # and the two semantics genuinely diverge (>1 person input)
+    assert not np.allclose(d_repo, d_ref)
 
 
 def test_pad_divisor():

@@ -21,6 +21,13 @@ def main():
     parser.add_argument('--batch-size', type=int, default=4)
     parser.add_argument('--out', default=None,
                         help='pickle the raw outputs here')
+    parser.add_argument('--format-only', action='store_true',
+                        help='write result_keypoints.json and skip '
+                             'evaluation (ref tools/test.py:33,214-218)')
+    parser.add_argument('--res-folder', default='tmp',
+                        help='folder for result_keypoints.json (the '
+                             "reference's evaluate res_folder, default "
+                             "'tmp')")
     parser.add_argument('--cfg-options', nargs='+', default=None)
     parser.add_argument('--fuse-conv-bn', action='store_true',
                         help='fold BN into convs before inference '
@@ -55,7 +62,13 @@ def main():
         import pickle
         with open(args.out, 'wb') as f:
             pickle.dump(outputs, f)
-    results = dataset.evaluate(outputs, metric=args.eval)
+    if args.format_only:
+        _, res_file = dataset.format_results(outputs,
+                                             res_folder=args.res_folder)
+        print(f'[das_tpu] wrote {res_file}')
+        return
+    results = dataset.evaluate(outputs, metric=args.eval,
+                               res_folder=args.res_folder)
     for k, v in results.items():
         print(k, v)
 
