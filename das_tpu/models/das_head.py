@@ -80,6 +80,7 @@ class DASHead(nn.Module):
     # exact while learned offsets stay within +-dcn_shift_radius px)
     dcn_gather_mode: str = 'patch'
     dcn_shift_radius: int = 2
+    dcn_shift_budget: int = 2048
     conv_bias: Any = True
     norm_cfg: Optional[dict] = None
     recursive_update: Optional[dict] = None
@@ -112,7 +113,8 @@ class DASHead(nn.Module):
         kw = dict(norm_cfg=norm_cfg, bias=self.conv_bias, dtype=self.dtype,
                   axis_name=self.axis_name, kernel_init=init01,
                   dcn_gather_mode=self.dcn_gather_mode,
-                  dcn_shift_radius=self.dcn_shift_radius)
+                  dcn_shift_radius=self.dcn_shift_radius,
+                  dcn_shift_budget=self.dcn_shift_budget)
         # fine-grained remat: each ConvModule is its own region, so the
         # backward holds one conv's activations at a time (level-level
         # remat still peaked >16G at B=4 512x960)
@@ -159,6 +161,7 @@ class DASHead(nn.Module):
         ru.setdefault('remat', self.remat)
         ru.setdefault('dcn_gather_mode', self.dcn_gather_mode)
         ru.setdefault('dcn_shift_radius', self.dcn_shift_radius)
+        ru.setdefault('dcn_shift_budget', self.dcn_shift_budget)
         self.recursive_update_branch = RecursiveUpdateBranch(
             dtype=self.dtype, **ru)
         self.prev_loss = ru.get('prev_loss', False)

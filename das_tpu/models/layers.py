@@ -60,8 +60,11 @@ class DeformConv2d(nn.Module):
     # measured ~30% faster than per-corner row gathers, bit-identical.
     # 'shift' trades the gather for dense shifted multiply-adds (streaming
     # HBM reads); exact only while offsets stay within +-shift_radius px.
+    # 'hybrid' adds exact sparse corrections for up to shift_budget
+    # out-of-radius taps per image on top of the shift base.
     gather_mode: str = 'patch'
     shift_radius: int = 2
+    shift_budget: int = 2048
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -90,7 +93,8 @@ class DeformConv2d(nn.Module):
             None if bias is None else bias.astype(self.dtype),
             kernel_size=k, padding=self.padding,
             gather_mode=self.gather_mode,
-            shift_radius=self.shift_radius)
+            shift_radius=self.shift_radius,
+            shift_budget=self.shift_budget)
 
 
 class ConvModule(nn.Module):
@@ -111,6 +115,7 @@ class ConvModule(nn.Module):
     dcn: bool = False
     dcn_gather_mode: str = 'patch'
     dcn_shift_radius: int = 2
+    dcn_shift_budget: int = 2048
     kernel_init: Any = None
     dtype: Dtype = jnp.float32
     axis_name: Optional[str] = None
@@ -129,6 +134,7 @@ class ConvModule(nn.Module):
                              kernel_init=kinit,
                              gather_mode=self.dcn_gather_mode,
                              shift_radius=self.dcn_shift_radius,
+                             shift_budget=self.dcn_shift_budget,
                              dtype=self.dtype,
                              name='conv')(x)
         else:

@@ -291,6 +291,7 @@ class NextLevelOffset(nn.Module):
     dim: int = 3
     dcn_gather_mode: str = 'patch'
     dcn_shift_radius: int = 2
+    dcn_shift_budget: int = 2048
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -301,6 +302,7 @@ class NextLevelOffset(nn.Module):
                          norm_cfg=dict(type='GN', num_groups=32),
                          dcn_gather_mode=self.dcn_gather_mode,
                          dcn_shift_radius=self.dcn_shift_radius,
+                         dcn_shift_budget=self.dcn_shift_budget,
                          dtype=self.dtype,
                          name='update_feat_conv')(feat, train)
         feat = feat + upd
@@ -326,6 +328,7 @@ class RecursiveUpdateLayer(nn.Module):
     gather_mode: str = 'auto'
     dcn_gather_mode: str = 'patch'
     dcn_shift_radius: int = 2
+    dcn_shift_budget: int = 2048
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -334,7 +337,8 @@ class RecursiveUpdateLayer(nn.Module):
         feat, offset, samp_off, samp_conf = NextLevelOffset(
             num_joints=self.num_joints, num_heads=self.num_heads,
             dim=self.dim, dcn_gather_mode=self.dcn_gather_mode,
-            dcn_shift_radius=self.dcn_shift_radius, dtype=self.dtype,
+            dcn_shift_radius=self.dcn_shift_radius,
+            dcn_shift_budget=self.dcn_shift_budget, dtype=self.dtype,
             name='next_level_offset')(feat, prev_offset, train)
         if select_idx is None:
             new_offset = _offset_sample(
@@ -369,6 +373,7 @@ class RecursiveUpdateBranch(nn.Module):
     gather_mode: str = 'auto'    # gather lowering for the offset sampling
     dcn_gather_mode: str = 'patch'   # tap-fetch lowering for the DCN convs
     dcn_shift_radius: int = 2
+    dcn_shift_budget: int = 2048
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -386,6 +391,7 @@ class RecursiveUpdateBranch(nn.Module):
                 dim=self.dim, gather_mode=self.gather_mode,
                 dcn_gather_mode=self.dcn_gather_mode,
                 dcn_shift_radius=self.dcn_shift_radius,
+                dcn_shift_budget=self.dcn_shift_budget,
                 dtype=self.dtype,
                 name=f'layer_{i}')(feat, offset, train, sel)
         return offset

@@ -16,6 +16,7 @@ Semantics match mmcv's pack layer:
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from .interp import sample_bilinear_abs
@@ -29,7 +30,8 @@ def modulated_deform_conv(x: jnp.ndarray,
                           kernel_size: int = 3,
                           padding: int = 1,
                           gather_mode: str = 'patch',
-                          shift_radius: int = 2) -> jnp.ndarray:
+                          shift_radius: int = 2,
+                          shift_budget: int = 2048) -> jnp.ndarray:
     """DCNv2 forward, stride 1, dilation 1, deform_groups 1, NHWC.
 
     Args:
@@ -44,7 +46,10 @@ def modulated_deform_conv(x: jnp.ndarray,
             with dense shifted multiply-adds (streaming reads at full HBM
             bandwidth) and is exact iff every offset lies in
             ``[-shift_radius, shift_radius]`` — offsets are clamped to
-            that box, so larger learned offsets saturate.
+            that box, so larger learned offsets saturate; ``'hybrid'`` is
+            the shift base plus exact sparse corrections for up to
+            ``shift_budget`` out-of-radius taps per image (exact DCNv2
+            semantics while ``deform_offset_overflow`` is 0).
     Returns:
         (N, H, W, Cout)
     """
@@ -55,6 +60,9 @@ def modulated_deform_conv(x: jnp.ndarray,
     if gather_mode == 'shift':
         return _deform_conv_shift(x, offset, mask, weight, bias,
                                   K, padding, shift_radius)
+    if gather_mode == 'hybrid':
+        return _deform_conv_hybrid(x, offset, mask, weight, bias,
+                                   K, padding, shift_radius, shift_budget)
 
     # Base grid of output pixel centres. Coordinate math stays f32 even in
     # bf16 mode (bf16 coords >= 128 lose the fractional part entirely).
@@ -101,6 +109,11 @@ def _deform_conv_shift(x: jnp.ndarray,
     per-row DMA gathers. Zeros padding outside the image falls out of
     the zero pad. Same semantics as the gather modes whenever the true
     offsets fit in the radius box.
+
+    (A separable two-pass variant was tried and is WRONG: the hat
+    weights belong to the output pixel, whose offset field varies along
+    both axes, so a vertical pre-pass would mix the horizontal
+    neighbours' vertical weights.)
     """
     N, H, W, Cin = x.shape
     Cout = weight.shape[-1]
@@ -128,6 +141,95 @@ def _deform_conv_shift(x: jnp.ndarray,
         out = out + jnp.einsum('nhwc,co->nhwo', acc, weight[kh, kw],
                                preferred_element_type=x.dtype)
     return out
+
+
+def deform_offset_overflow(offset: jnp.ndarray, radius: int,
+                           budget: int) -> jnp.ndarray:
+    """Per-image count of pixels (beyond the hybrid budget) having any
+    out-of-radius tap offset.
+
+    The 'hybrid' lowering is exact DCNv2 iff this is 0 for every image;
+    use it to validate a trained checkpoint before trusting hybrid-mode
+    outputs (cf. the loss's ``pos_overflow`` pattern)."""
+    off = offset.astype(jnp.float32)
+    N = off.shape[0]
+    oor_px = (jnp.abs(off.reshape(N, -1, off.shape[-1] // 2, 2))
+              > radius).any((-1, -2))
+    return jnp.maximum(oor_px.sum(-1) - budget, 0)
+
+
+def _deform_conv_hybrid(x: jnp.ndarray,
+                        offset: jnp.ndarray,
+                        mask: jnp.ndarray,
+                        weight: jnp.ndarray,
+                        bias: jnp.ndarray,
+                        K: int,
+                        padding: int,
+                        radius: int,
+                        budget: int) -> jnp.ndarray:
+    """Exact DCNv2 = dense shift base + budgeted exact pixel repairs.
+
+    The streaming shift expansion (``_deform_conv_shift``) is exact only
+    for offsets within ±radius. This mode keeps its full-bandwidth dense
+    base and REPAIRS the (rare, zero at init) pixels where any learned
+    tap offset leaves the radius box: the ``budget`` worst such pixels
+    per image are recomputed with the exact gather formulation — all
+    K*K taps bilinear-sampled at their true locations, modulated,
+    contracted — and scatter-SET into the output, making those pixels
+    bitwise the gather-mode value.
+
+    Exact DCNv2 semantics while the per-image flagged-pixel count is
+    ≤ budget — check with ``deform_offset_overflow``. In-radius pixels
+    keep the shift formulation's value (equal up to fp rounding of the
+    hat-weight expression vs the gather modes' lerp weights).
+
+    Cost over the shift base: one top_k over H*W, one sparse
+    (K*K*budget)-point patch gather, one (budget, K*K*Cin)x(K*K*Cin,
+    Cout) matmul, one budget-row scatter.
+    """
+    N, H, W, Cin = x.shape
+    Cout = weight.shape[-1]
+    KK = K * K
+    HW = H * W
+    M = min(budget, HW)
+    r = float(radius)
+
+    base = _deform_conv_shift(x, offset, mask, weight, bias, K, padding,
+                              radius)
+
+    off = offset.astype(jnp.float32).reshape(N, HW, KK, 2)
+    # per-pixel violation score: worst tap's distance outside the box
+    score = (jnp.abs(off).max((-1, -2)) - r)                    # (N, HW)
+    _, p = jax.lax.top_k(score, M)                              # (N, M)
+    valid = jnp.take_along_axis(score, p, axis=1) > 0           # (N, M)
+
+    py = (p // W).astype(jnp.float32)
+    px = (p % W).astype(jnp.float32)
+    d = jnp.take_along_axis(off, p[..., None, None].repeat(KK, 2)
+                            .repeat(2, 3), axis=1)              # (N,M,KK,2)
+    m_sel = jnp.take_along_axis(mask.reshape(N, HW, KK),
+                                p[..., None].repeat(KK, 2), axis=1)
+
+    # exact gather recompute of the selected pixels, same tap order and
+    # accumulation as the 'patch' dense mode -> bitwise the gather value
+    exact = jnp.zeros((N, M, Cout), x.dtype) if bias is None else \
+        jnp.broadcast_to(bias.astype(x.dtype), (N, M, Cout))
+    for t in range(KK):
+        kh, kw = divmod(t, K)
+        sy = py + (kh - padding) + d[..., t, 0]
+        sx = px + (kw - padding) + d[..., t, 1]
+        tap = sample_bilinear_abs(x, sx, sy, gather_mode='patch') \
+            * m_sel[..., t:t + 1].astype(x.dtype)
+        exact = exact + jnp.einsum('nmc,co->nmo', tap, weight[kh, kw],
+                                   preferred_element_type=x.dtype)
+
+    base = base.reshape(N, HW, Cout)
+    nidx = jnp.arange(N)[:, None]
+    repaired = jnp.where(valid[..., None], exact,
+                         jnp.take_along_axis(
+                             base, p[..., None].repeat(Cout, 2), axis=1))
+    out = base.at[nidx, p].set(repaired)
+    return out.reshape(N, H, W, Cout)
 
 
 def dcn_v2(x: jnp.ndarray,

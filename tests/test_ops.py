@@ -156,6 +156,56 @@ def test_deform_conv_shift_mode_matches_gather():
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
 
 
+def test_deform_conv_hybrid_mode_exact_for_any_offsets():
+    """'hybrid' (shift base + budgeted exact pixel repairs) == gather
+    modes for ARBITRARY offsets while the per-image count of pixels
+    with any out-of-radius tap fits the budget; with the budget exceeded
+    the overflow is countable via deform_offset_overflow."""
+    from das_tpu.ops.deform_conv import deform_offset_overflow
+
+    rng = np.random.RandomState(11)
+    n, cin, cout, h, w = 2, 3, 4, 6, 7
+    x = rng.randn(n, h, w, cin).astype(np.float32)
+    mask = 1 / (1 + np.exp(-rng.randn(n, h, w, 9).astype(np.float32)))
+    weight = rng.randn(3, 3, cin, cout).astype(np.float32) * 0.2
+    bias = rng.randn(cout).astype(np.float32)
+
+    # offsets far beyond any radius on ~20% of taps
+    offset = (rng.rand(n, h, w, 18).astype(np.float32) * 2 - 1) * 0.8
+    far = rng.rand(n, h, w, 9) < 0.2
+    offset = offset.reshape(n, h, w, 9, 2)
+    offset[far] *= 6.0
+    offset = offset.reshape(n, h, w, 18)
+
+    ref = modulated_deform_conv(
+        jnp.asarray(x), jnp.asarray(offset), jnp.asarray(mask),
+        jnp.asarray(weight), jnp.asarray(bias), gather_mode='patch')
+    for radius in (1, 2):
+        ovf = np.asarray(deform_offset_overflow(
+            jnp.asarray(offset), radius, budget=h * w))
+        assert (ovf == 0).all()
+        got = modulated_deform_conv(
+            jnp.asarray(x), jnp.asarray(offset), jnp.asarray(mask),
+            jnp.asarray(weight), jnp.asarray(bias), gather_mode='hybrid',
+            shift_radius=radius, shift_budget=h * w)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=3e-5)
+        # a tight-but-sufficient budget also stays exact
+        n_flagged = int(np.asarray(deform_offset_overflow(
+            jnp.asarray(offset), radius, budget=0)).max())
+        got2 = modulated_deform_conv(
+            jnp.asarray(x), jnp.asarray(offset), jnp.asarray(mask),
+            jnp.asarray(weight), jnp.asarray(bias), gather_mode='hybrid',
+            shift_radius=radius, shift_budget=n_flagged)
+        np.testing.assert_allclose(np.asarray(got2), np.asarray(ref),
+                                   atol=3e-5)
+
+    # insufficient budget: overflow is reported (and nonzero)
+    ovf = np.asarray(deform_offset_overflow(jnp.asarray(offset), 1,
+                                            budget=2))
+    assert (ovf > 0).all()
+
+
 def test_dcn_v2_zero_offsets_equals_plain_conv():
     """With conv_offset weights at 0 (the init), DCNv2 == plain 3x3 conv."""
     n, cin, cout, h, w = 2, 4, 5, 6, 7
