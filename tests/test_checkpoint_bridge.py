@@ -195,6 +195,49 @@ def test_bridge_full_coverage(panoptic_variables):
     np.testing.assert_allclose(f, t)
 
 
+def test_pth_file_roundtrip_full_tree(panoptic_variables, tmp_path):
+    """Full exp_panoptic key space through the REAL .pth file path:
+    synthesize a torch checkpoint with the exact reference key set,
+    torch.save it, load via load_torch_checkpoint(strict=True) — zero
+    missing / zero unexpected — export back with save_torch_checkpoint
+    and assert key-set + shape + bit identity. One command stands between
+    real-asset delivery and the MPJPE verdict; this proves the bridge on
+    the full key space, not a toy tree."""
+    import torch
+    from das_tpu.checkpoint.torch_bridge import (load_torch_checkpoint,
+                                                 read_state_dict,
+                                                 save_torch_checkpoint)
+
+    key_shapes = reference_torch_keys()
+    rng = np.random.RandomState(2)
+    sd0 = {k: np.asarray(rng.randn(*s), np.float32)
+           for k, s in key_shapes.items()}
+    sd0_t = {k: torch.from_numpy(v.copy()) for k, v in sd0.items()}
+    src = str(tmp_path / 'synthetic_exp_panoptic.pth')
+    torch.save(dict(state_dict=sd0_t, meta=dict(synthetic=True)), src)
+
+    # materialise the full-size variable tree with real zeros (eval_shape
+    # leaves are structs; strict load only needs shapes/dtypes, but the
+    # export needs arrays)
+    variables = jax.tree.map(
+        lambda s: jnp.zeros(s.shape, s.dtype), dict(panoptic_variables))
+    loaded, report = load_torch_checkpoint(variables, src, strict=True)
+    assert report['missing'] == [] and report['unexpected'] == []
+
+    dst = str(tmp_path / 'roundtrip.pth')
+    save_torch_checkpoint(loaded, dst, meta=dict(synthetic=True))
+    sd1 = read_state_dict(dst)
+
+    dropped = {k for k in sd0
+               if k.endswith('num_batches_tracked') or k.endswith('.mask')}
+    assert set(sd1) == set(sd0) - dropped, (
+        sorted(set(sd0) - dropped - set(sd1))[:8],
+        sorted(set(sd1) - set(sd0))[:8])
+    for k, v in sd1.items():
+        assert v.shape == sd0[k].shape, k
+        np.testing.assert_array_equal(v, sd0[k], err_msg=k)
+
+
 def test_export_roundtrip(panoptic_variables):
     """flax -> torch export -> bridge import must reproduce the tree."""
     from das_tpu.checkpoint.torch_bridge import export_torch_state_dict
