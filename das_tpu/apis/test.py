@@ -144,7 +144,7 @@ def _sweep(model, variables, get_sample, n: int, cfg, batch_size: int,
 
 
 def _device_pre_sweep(model, variables, dataset, cfg, batch_size: int,
-                      progress: bool) -> List[Dict]:
+                      progress: bool, subset=None) -> List[Dict]:
     """Fused-preprocessing sweep: the host only JPEG-decodes; keep-ratio
     resize, BGR->RGB, normalize, pad (and the flip-test mirror) compile
     into the same XLA program as the model (SURVEY §2.3 north-star:
@@ -180,12 +180,16 @@ def _device_pre_sweep(model, variables, dataset, cfg, batch_size: int,
 
     prefix = getattr(dataset, 'img_prefix', '') or ''
     infos = dataset.data_infos
-    n = len(infos)
+    # multihost: bucket only this process's interleaved shard (indices
+    # remain dataset-global; the caller allgathers)
+    members = list(range(len(infos))) if subset is None else list(subset)
+    n = len(members)
     buckets = defaultdict(list)
-    for i, info in enumerate(infos):
+    for i in members:
+        info = infos[i]
         buckets[(int(info['height']), int(info['width']))].append(i)
 
-    results: List[Any] = [None] * n
+    results: Dict[int, Any] = {}
     done = 0
     for (h, w), idxs in buckets.items():
         new_h, new_w = _rescale_size(h, w, scale)
@@ -238,7 +242,7 @@ def _device_pre_sweep(model, variables, dataset, cfg, batch_size: int,
                 print(f'\r[das_tpu] test {done}/{n}', end='', flush=True)
     if progress:
         print()
-    return results
+    return [results[i] for i in members]
 
 
 def run_test(model, variables, dataset, cfg, batch_size: int = 4,
@@ -254,13 +258,11 @@ def run_test(model, variables, dataset, cfg, batch_size: int = 4,
     if device_preprocess is None:
         device_preprocess = bool(
             cfg.data['test'].get('device_preprocess', False))
-    if device_preprocess:
-        assert jax.process_count() == 1, \
-            'device_preprocess + multihost not wired yet'
-        return _device_pre_sweep(model, variables, dataset, cfg,
-                                 batch_size, progress)
 
     if jax.process_count() == 1:
+        if device_preprocess:
+            return _device_pre_sweep(model, variables, dataset, cfg,
+                                     batch_size, progress)
         return _sweep(model, variables, lambda i: dataset[i],
                       len(dataset), cfg, batch_size, progress)
 
@@ -268,9 +270,14 @@ def run_test(model, variables, dataset, cfg, batch_size: int = 4,
 
     pid, nproc = jax.process_index(), jax.process_count()
     my_idx = list(range(pid, len(dataset), nproc))
-    shard_results = _sweep(model, variables,
-                           lambda i: dataset[my_idx[i]], len(my_idx),
-                           cfg, batch_size, progress and pid == 0)
+    if device_preprocess:
+        shard_results = _device_pre_sweep(
+            model, variables, dataset, cfg, batch_size,
+            progress and pid == 0, subset=my_idx)
+    else:
+        shard_results = _sweep(model, variables,
+                               lambda i: dataset[my_idx[i]], len(my_idx),
+                               cfg, batch_size, progress and pid == 0)
 
     # pad to a uniform per-process count, allgather fixed-size arrays
     n_max = -(-len(dataset) // nproc)

@@ -290,7 +290,7 @@ class MuPots3DHP(BasePoseDataset):
 
     def __init__(self, data_root=None, use_bbox_center=False,
                  norm_depth=False, abs_dz=False, depth_factor=1,
-                 num_workers: int = 8, **kwargs):
+                 num_workers: int = 8, eval_seq=None, **kwargs):
         kwargs.setdefault('test_mode', True)
         super().__init__(data_root=data_root, **kwargs)
         self.num_joints = self.original_joint_num
@@ -299,8 +299,18 @@ class MuPots3DHP(BasePoseDataset):
         self.depth_factor = depth_factor
         self.abs_dz = abs_dz
         self.num_workers = num_workers
-        if abs_dz:
-            assert norm_depth
+        # Single-sequence restriction (0-based: eval_seq=0 -> TS1). The
+        # reference gestures at this via ``self.eval_seq`` in _filter_imgs
+        # (ref mupots_3dhp.py:182-193) but never defines the attribute —
+        # the surface is dead there; here it works (BASELINE rung #2 runs
+        # TS1 alone).
+        self.eval_seq = eval_seq
+        if eval_seq is not None:
+            tag = f'TS{int(eval_seq) + 1}/'
+            keep = [i for i, info in enumerate(self.data_infos)
+                    if tag in info['file_name']]
+            self.img_ids = [self.img_ids[i] for i in keep]
+            self.data_infos = [self.data_infos[i] for i in keep]
         # name2id keyed by relative path (TS#/img_xxx.jpg)
         self.name2id = {info['file_name']: info['id']
                         for info in self.data_infos}
@@ -441,8 +451,10 @@ class MuPots3DHP(BasePoseDataset):
                 pred_img.reshape(-1, 3).T, cam['K'], cam['R'],
                 cam['t']).T.reshape(pred_img.shape)
 
+        eval_seqs = list(range(20)) if self.eval_seq is None \
+            else [int(self.eval_seq)]
         tasks = [(ts, self.data_root, name2pred, eval_mode)
-                 for ts in range(20)]
+                 for ts in eval_seqs]
         if self.num_workers > 1:
             with ProcessPoolExecutor(max_workers=self.num_workers) as ex:
                 results = list(ex.map(eval_sequence, tasks))
@@ -469,15 +481,15 @@ class MuPots3DHP(BasePoseDataset):
         group_hdr = '  '.join(f'{name:>8s}' for name, _ in JOINT_GROUPS)
         print(f'{"Seq":>5s}  {group_hdr}  {"All":>8s}  {"All_abs":>8s}'
               f'  {"AUC":>6s}')
-        for s, (row, row_abs, auc_row) in enumerate(
-                zip(pck_array, pck_array_abs, auc_array)):
+        for s, row, row_abs, auc_row in zip(eval_seqs, pck_array,
+                                            pck_array_abs, auc_array):
             groups = '  '.join(f'{100 * v:8.2f}' for v in row[:-1])
             print(f'TS{s + 1:<3d}  {groups}  {100 * row[-1]:8.2f}'
                   f'  {100 * row_abs[-1]:8.2f}'
                   f'  {100 * float(np.mean(auc_row)):6.2f}')
         print(f'{"mean":>5s}  {"":{len(group_hdr)}s}  {100 * pck_mean:8.2f}'
               f'  {100 * pck_mean_abs:8.2f}')
-        for s, row in enumerate(pck_array):
+        for s, row in zip(eval_seqs, pck_array):
             out[f'pck_TS{s + 1}'] = float(row[-1])
         group_names = [name for name, _ in JOINT_GROUPS]
         per_group = np.asarray(pck_array, np.float64)[:, :-1].mean(axis=0)
