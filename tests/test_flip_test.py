@@ -97,6 +97,40 @@ def test_merge_keeps_unmatched_direct_people():
     np.testing.assert_array_equal(merged['poses'], direct['poses'])
 
 
+def test_merge_crowded_scene_greedy_matching():
+    """Crowded scene: people closer together than the pose extent. The
+    greedy root-distance matcher must (a) pair each direct person with
+    its own flipped twin, never a neighbour's, (b) consume each flipped
+    person at most once, (c) leave far-away flipped detections unused.
+
+    Pins the match_frac=0.5-of-extent threshold semantics documented in
+    docs/migration.md."""
+    # pose extent is ~J px (see _person); people spaced 10 px apart —
+    # well inside each other's extent, so the threshold alone cannot
+    # separate them: greedy nearest-first pairing must.
+    xs = [40, 50, 60]
+    direct = dict(
+        poses=np.stack([_person(x, 25) for x in xs]),
+        centers=np.array([[x, 25, 2.0] for x in xs], np.float32),
+        vis=np.ones((3, J), np.float32),
+        scores=[0.9, 0.8, 0.7], image_paths=['a'])
+    # flipped view: each person +2 px, plus one spurious far detection
+    flipped = dict(
+        poses=np.stack([_person(x + 2, 25) for x in xs]
+                       + [_person(150, 90)]),
+        centers=np.array([[x + 2, 25, 2.0] for x in xs]
+                         + [[150, 90, 2.0]], np.float32),
+        vis=np.ones((4, J), np.float32),
+        scores=[0.85, 0.8, 0.75, 0.4], image_paths=['a'])
+    merged = merge_flip_results(direct, flipped)
+    # every person averaged with ITS OWN twin: x -> x + 1
+    np.testing.assert_allclose(merged['centers'][:, 0],
+                               [x + 1 for x in xs], atol=1e-5)
+    for i, x in enumerate(xs):
+        np.testing.assert_allclose(merged['poses'][i][:, 0],
+                                   _person(x + 1, 25)[:, 0], atol=1e-5)
+
+
 def test_sweep_flip_merge_end_to_end(monkeypatch):
     """Drive _sweep with a fake predict: detects the bright blob, with an
     asymmetric +2px x-bias. Flip-test must halve the bias for a mirrored
