@@ -80,6 +80,10 @@ class DeformConv2d(nn.Module):
                       name='conv_offset')(x)
         offset = raw[..., :2 * kk]
         mask = nn.sigmoid(raw[..., 2 * kk:])
+        # collected only under apply(..., mutable=['intermediates']):
+        # lets tools/validate_hybrid.py bound every layer's learned
+        # offsets before trusting the 'shift'/'hybrid' lowerings
+        self.sow('intermediates', 'dcn_offset', offset)
         cin = x.shape[-1]
         weight = self.param(
             'kernel', self.kernel_init or nn.initializers.he_normal(),
