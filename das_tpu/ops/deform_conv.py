@@ -183,9 +183,13 @@ def _deform_conv_hybrid(x: jnp.ndarray,
     keep the shift formulation's value (equal up to fp rounding of the
     hat-weight expression vs the gather modes' lerp weights).
 
-    Cost over the shift base: one top_k over H*W, one sparse
-    (K*K*budget)-point patch gather, one (budget, K*K*Cin)x(K*K*Cin,
-    Cout) matmul, one budget-row scatter.
+    The repair sits under a ``lax.cond`` on "any pixel flagged", so the
+    expected case (a validated checkpoint: zero flagged pixels — always
+    true at init) pays only the shift base plus one cheap reduce over
+    the offset field. Measured on-chip (640x1152 B=4): cond-gated hybrid
+    runs at shift speed (~17.7 img/s) vs 5.1 img/s when the selection
+    (top_k over H*W), sparse K*K-tap patch gather, (budget, Cin)xCout
+    contraction and budget-row scatter ran unconditionally every layer.
     """
     N, H, W, Cin = x.shape
     Cout = weight.shape[-1]
@@ -200,36 +204,42 @@ def _deform_conv_hybrid(x: jnp.ndarray,
     off = offset.astype(jnp.float32).reshape(N, HW, KK, 2)
     # per-pixel violation score: worst tap's distance outside the box
     score = (jnp.abs(off).max((-1, -2)) - r)                    # (N, HW)
-    _, p = jax.lax.top_k(score, M)                              # (N, M)
-    valid = jnp.take_along_axis(score, p, axis=1) > 0           # (N, M)
 
-    py = (p // W).astype(jnp.float32)
-    px = (p % W).astype(jnp.float32)
-    d = jnp.take_along_axis(off, p[..., None, None].repeat(KK, 2)
-                            .repeat(2, 3), axis=1)              # (N,M,KK,2)
-    m_sel = jnp.take_along_axis(mask.reshape(N, HW, KK),
-                                p[..., None].repeat(KK, 2), axis=1)
+    def repair(base):
+        _, p = jax.lax.top_k(score, M)                          # (N, M)
+        valid = jnp.take_along_axis(score, p, axis=1) > 0       # (N, M)
 
-    # exact gather recompute of the selected pixels, same tap order and
-    # accumulation as the 'patch' dense mode -> bitwise the gather value
-    exact = jnp.zeros((N, M, Cout), x.dtype) if bias is None else \
-        jnp.broadcast_to(bias.astype(x.dtype), (N, M, Cout))
-    for t in range(KK):
-        kh, kw = divmod(t, K)
-        sy = py + (kh - padding) + d[..., t, 0]
-        sx = px + (kw - padding) + d[..., t, 1]
-        tap = sample_bilinear_abs(x, sx, sy, gather_mode='patch') \
-            * m_sel[..., t:t + 1].astype(x.dtype)
-        exact = exact + jnp.einsum('nmc,co->nmo', tap, weight[kh, kw],
-                                   preferred_element_type=x.dtype)
+        py = (p // W).astype(jnp.float32)
+        px = (p % W).astype(jnp.float32)
+        d = jnp.take_along_axis(off, p[..., None, None].repeat(KK, 2)
+                                .repeat(2, 3), axis=1)          # (N,M,KK,2)
+        m_sel = jnp.take_along_axis(mask.reshape(N, HW, KK),
+                                    p[..., None].repeat(KK, 2), axis=1)
 
-    base = base.reshape(N, HW, Cout)
-    nidx = jnp.arange(N)[:, None]
-    repaired = jnp.where(valid[..., None], exact,
-                         jnp.take_along_axis(
-                             base, p[..., None].repeat(Cout, 2), axis=1))
-    out = base.at[nidx, p].set(repaired)
-    return out.reshape(N, H, W, Cout)
+        # exact gather recompute of the selected pixels, same tap order
+        # and accumulation as the 'patch' dense mode -> bitwise the
+        # gather-mode value
+        exact = jnp.zeros((N, M, Cout), x.dtype) if bias is None else \
+            jnp.broadcast_to(bias.astype(x.dtype), (N, M, Cout))
+        for t in range(KK):
+            kh, kw = divmod(t, K)
+            sy = py + (kh - padding) + d[..., t, 0]
+            sx = px + (kw - padding) + d[..., t, 1]
+            tap = sample_bilinear_abs(x, sx, sy, gather_mode='patch') \
+                * m_sel[..., t:t + 1].astype(x.dtype)
+            exact = exact + jnp.einsum('nmc,co->nmo', tap,
+                                       weight[kh, kw],
+                                       preferred_element_type=x.dtype)
+
+        flat = base.reshape(N, HW, Cout)
+        nidx = jnp.arange(N)[:, None]
+        repaired = jnp.where(valid[..., None], exact,
+                             jnp.take_along_axis(
+                                 flat, p[..., None].repeat(Cout, 2),
+                                 axis=1))
+        return flat.at[nidx, p].set(repaired).reshape(base.shape)
+
+    return jax.lax.cond(jnp.any(score > 0), repair, lambda b: b, base)
 
 
 def dcn_v2(x: jnp.ndarray,

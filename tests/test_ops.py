@@ -205,6 +205,17 @@ def test_deform_conv_hybrid_mode_exact_for_any_offsets():
                                             budget=2))
     assert (ovf > 0).all()
 
+    # clean case (all offsets in-radius): the lax.cond repair must NOT
+    # fire — hybrid is bitwise the shift base
+    off_small = (rng.rand(n, h, w, 18).astype(np.float32) * 2 - 1) * 0.8
+    args = (jnp.asarray(x), jnp.asarray(off_small), jnp.asarray(mask),
+            jnp.asarray(weight), jnp.asarray(bias))
+    got = modulated_deform_conv(*args, gather_mode='hybrid',
+                                shift_radius=1, shift_budget=4)
+    want = modulated_deform_conv(*args, gather_mode='shift',
+                                 shift_radius=1)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
 
 def test_dcn_v2_zero_offsets_equals_plain_conv():
     """With conv_offset weights at 0 (the init), DCNv2 == plain 3x3 conv."""
