@@ -41,6 +41,11 @@ def main():
     parser.add_argument('--width', type=int, default=1152)
     parser.add_argument('--batch', type=int, default=4)
     parser.add_argument('--dtype', default='bfloat16')
+    parser.add_argument('--measured-ms', type=float, default=None,
+                        help='measured wall ms/batch for this program '
+                             '(quiet window) -> prints MFU%% and HBM%%')
+    parser.add_argument('--dcn-mode', default=None,
+                        help='override bbox_head dcn_gather_mode')
     args = parser.parse_args()
 
     import numpy as np
@@ -55,7 +60,13 @@ def main():
 
     dtype = getattr(jnp, args.dtype)
     cfg = Config.fromfile('configs/das/exp_panoptic.py')
-    model = build_model(dict(cfg.model), dtype=dtype)
+    mc = dict(cfg.model)
+    if args.dcn_mode:
+        mode, _, rad = args.dcn_mode.partition(':')
+        mc['bbox_head'] = dict(mc['bbox_head'], dcn_gather_mode=mode,
+                               **(dict(dcn_shift_radius=int(rad))
+                                  if rad else {}))
+    model = build_model(mc, dtype=dtype)
     B, H, W = args.batch, args.height, args.width
     rng = np.random.RandomState(0)
     img = jnp.asarray(rng.randn(B, H, W, 3), jnp.float32)
@@ -89,6 +100,15 @@ def main():
     print(f'\nfull-forward SOL {tot * 1e3:.2f} ms -> '
           f'{B / tot:.0f} img/s speed-of-light '
           f'(quiet-chip round-1 measured ~30 img/s)')
+
+    if args.measured_ms is not None:
+        t = args.measured_ms / 1e3
+        mfu = r_full['flops'] / t / PEAK_FLOPS
+        hbm = r_full['bytes'] / t / PEAK_BYTES
+        print(f'measured {args.measured_ms:.1f} ms/batch -> '
+              f'MFU {100 * mfu:.1f}%  HBM {100 * hbm:.1f}%  '
+              f'(SOL ratio {tot / t * 100:.1f}% — the gap is time in '
+              f'ops XLA prices below the roofline: gathers/selects)')
 
 
 if __name__ == '__main__':

@@ -23,6 +23,8 @@ def main():
     parser.add_argument('--batch', type=int, default=4)
     parser.add_argument('--logdir', default='/tmp/das_tpu_trace')
     parser.add_argument('--top', type=int, default=40)
+    parser.add_argument('--dcn-mode', default=None,
+                        help="override dcn_gather_mode, e.g. 'hybrid:1'")
     args = parser.parse_args()
 
     import numpy as np
@@ -36,7 +38,13 @@ def main():
     from das_tpu.core.decode import decode_batch
 
     cfg = Config.fromfile('configs/das/exp_panoptic.py')
-    model = build_model(dict(cfg.model), dtype=jnp.bfloat16)
+    mc = dict(cfg.model)
+    if args.dcn_mode:
+        mode, _, rad = args.dcn_mode.partition(':')
+        mc['bbox_head'] = dict(mc['bbox_head'], dcn_gather_mode=mode,
+                               **(dict(dcn_shift_radius=int(rad))
+                                  if rad else {}))
+    model = build_model(mc, dtype=jnp.bfloat16)
     B, H, W = args.batch, args.height, args.width
     rng = np.random.RandomState(0)
     img = jnp.asarray(rng.randn(B, H, W, 3), jnp.float32)
