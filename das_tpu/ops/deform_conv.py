@@ -63,6 +63,19 @@ def modulated_deform_conv(x: jnp.ndarray,
     if gather_mode == 'hybrid':
         return _deform_conv_hybrid(x, offset, mask, weight, bias,
                                    K, padding, shift_radius, shift_budget)
+    if gather_mode in ('shift_pallas', 'hybrid_pallas'):
+        from .pallas_dcn import deform_conv_shift_pallas
+        # devices()[0].platform, not default_backend(): the axon plugin
+        # reports backend 'tpu' even when jax_platforms forces cpu
+        interpret = jax.devices()[0].platform != 'tpu'
+        base = deform_conv_shift_pallas(x, offset, mask, weight, bias,
+                                        K=K, padding=padding,
+                                        radius=shift_radius,
+                                        interpret=interpret)
+        if gather_mode == 'shift_pallas':
+            return base
+        return _hybrid_repair(base, x, offset, mask, weight, bias,
+                              K, padding, shift_radius, shift_budget)
 
     # Base grid of output pixel centres. Coordinate math stays f32 even in
     # bf16 mode (bf16 coords >= 128 lose the fractional part entirely).
@@ -191,15 +204,21 @@ def _deform_conv_hybrid(x: jnp.ndarray,
     (top_k over H*W), sparse K*K-tap patch gather, (budget, Cin)xCout
     contraction and budget-row scatter ran unconditionally every layer.
     """
+    base = _deform_conv_shift(x, offset, mask, weight, bias, K, padding,
+                              radius)
+    return _hybrid_repair(base, x, offset, mask, weight, bias, K,
+                          padding, radius, budget)
+
+
+def _hybrid_repair(base, x, offset, mask, weight, bias, K, padding,
+                   radius, budget):
+    """Cond-gated exact repair of out-of-radius pixels on any shift base."""
     N, H, W, Cin = x.shape
     Cout = weight.shape[-1]
     KK = K * K
     HW = H * W
     M = min(budget, HW)
     r = float(radius)
-
-    base = _deform_conv_shift(x, offset, mask, weight, bias, K, padding,
-                              radius)
 
     off = offset.astype(jnp.float32).reshape(N, HW, KK, 2)
     # per-pixel violation score: worst tap's distance outside the box

@@ -15,6 +15,11 @@ if 'xla_force_host_platform_device_count' not in flags:
 
 import jax  # noqa: E402
 
+# Belt and braces: this environment's axon TPU plugin sometimes ignores
+# the JAX_PLATFORMS env var (observed to change across terminal rebuilds
+# mid-session); the config API is binding either way.
+jax.config.update('jax_platforms', 'cpu')
+
 # parity tests compare against torch fp32; disable bf16 matmul passthrough
 jax.config.update('jax_default_matmul_precision', 'highest')
 

@@ -217,6 +217,42 @@ def test_deform_conv_hybrid_mode_exact_for_any_offsets():
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
 
+def test_deform_conv_pallas_shift_matches_xla_shift():
+    """The fused Pallas kernel == the XLA shift expansion (fp tolerance:
+    the kernel accumulates the tap contractions in f32), incl. the
+    hybrid_pallas repair path for out-of-radius offsets."""
+    rng = np.random.RandomState(7)
+    n, cin, cout, h, w = 2, 3, 5, 8, 6
+    x = rng.randn(n, h, w, cin).astype(np.float32)
+    offset = (rng.rand(n, h, w, 18).astype(np.float32) * 2 - 1) * 1.4
+    mask = 1 / (1 + np.exp(-rng.randn(n, h, w, 9).astype(np.float32)))
+    weight = rng.randn(3, 3, cin, cout).astype(np.float32) * 0.2
+    bias = rng.randn(cout).astype(np.float32)
+    args = (jnp.asarray(x), jnp.asarray(offset), jnp.asarray(mask),
+            jnp.asarray(weight), jnp.asarray(bias))
+
+    for radius in (1, 2):
+        want = modulated_deform_conv(*args, gather_mode='shift',
+                                     shift_radius=radius)
+        got = modulated_deform_conv(*args, gather_mode='shift_pallas',
+                                    shift_radius=radius)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=3e-5)
+
+    # hybrid_pallas == hybrid (exact repair on the pallas base)
+    off_far = offset.reshape(n, h, w, 9, 2).copy()
+    off_far[rng.rand(n, h, w, 9) < 0.15] *= 5.0
+    off_far = off_far.reshape(n, h, w, 18)
+    ref = modulated_deform_conv(
+        jnp.asarray(x), jnp.asarray(off_far), *args[2:],
+        gather_mode='patch')
+    got = modulated_deform_conv(
+        jnp.asarray(x), jnp.asarray(off_far), *args[2:],
+        gather_mode='hybrid_pallas', shift_radius=1, shift_budget=h * w)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=3e-5)
+
+
 def test_dcn_v2_zero_offsets_equals_plain_conv():
     """With conv_offset weights at 0 (the init), DCNv2 == plain 3x3 conv."""
     n, cin, cout, h, w = 2, 4, 5, 6, 7

@@ -18,7 +18,7 @@ import time
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..', '..'))
 
 
-def time_mode(mode, radius, H, W, B, groups, group):
+def time_mode(mode, radius, H, W, B, groups, group, ru_mode=None):
     import numpy as np
     import jax
     import jax.numpy as jnp
@@ -31,6 +31,11 @@ def time_mode(mode, radius, H, W, B, groups, group):
     mc = dict(cfg.model)
     mc['bbox_head'] = dict(mc['bbox_head'], dcn_gather_mode=mode,
                            dcn_shift_radius=radius)
+    if ru_mode:
+        mc['bbox_head'] = dict(
+            mc['bbox_head'],
+            recursive_update=dict(mc['bbox_head']['recursive_update'],
+                                  gather_mode=ru_mode))
     model = build_model(mc, dtype=jnp.bfloat16)
     img0 = jnp.zeros((1, 64, 64, 3), jnp.float32)
     variables = dict(model.init_all(jax.random.PRNGKey(0), img0))
@@ -82,6 +87,9 @@ def main():
     parser.add_argument('--groups', type=int, default=8)
     parser.add_argument('--group', type=int, default=8)
     parser.add_argument('--modes', default='patch,shift:1,shift:2')
+    parser.add_argument('--ru-mode', default=None,
+                        help="recursive-update sampling gather mode "
+                             "(default: config 'auto' -> clip)")
     args = parser.parse_args()
 
     import jax
@@ -92,7 +100,8 @@ def main():
         mode, _, rad = spec.partition(':')
         radius = int(rad) if rad else 2
         dt = time_mode(mode, radius, args.height, args.width,
-                       args.batch_size, args.groups, args.group)
+                       args.batch_size, args.groups, args.group,
+                       ru_mode=args.ru_mode)
         fps = args.batch_size * args.group / dt
         print(f'{spec:12s}  best group {dt * 1e3:8.1f} ms   '
               f'{fps:7.2f} img/s', flush=True)
