@@ -34,15 +34,18 @@ Dtype = Any
 def _resolve_gather_mode(mode: str, table_rows: int) -> str:
     """Resolve the gather lowering used by the offset sampling.
 
-    Quiet-window chained measurements (tools/analysis_tools/dcn_bench.py)
-    at the stride-8 Panoptic eval shape: 'clip' 174 ms, 'one_hot' 223 ms
-    (the one-hot matmul burns table_rows^2 MXU work), so 'auto' resolves
-    to 'clip'. The knob stays because the ranking is backend-dependent —
-    a contended-window run ranked them the other way around."""
+    Quiet-window e2e measurements (tools/analysis_tools/e2e_mode_bench.py
+    --ru-mode, B=4 640x1152, round 4): 'patch' 18.76 img/s vs 'clip'
+    17.31 — one (2,2,C) slice-gather per point is half the gather rows
+    of four per-corner row fetches. Earlier dense-path ranking
+    (dcn_bench.py, round 3): 'clip' 174 ms, 'one_hot' 223 ms (the
+    one-hot matmul burns table_rows^2 MXU work). All lowerings are
+    bit-equal (test-pinned); the knob stays because the ranking is
+    backend-dependent."""
     del table_rows
     if mode != 'auto':
         return mode
-    return 'clip'
+    return 'patch'
 
 
 def _offset_sample(uvd: jnp.ndarray,
