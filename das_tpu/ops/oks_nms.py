@@ -80,17 +80,24 @@ def oks_nms_fixed(kpts: jnp.ndarray,
     idx = jnp.arange(M)
     order0 = jnp.full((max_dets,), -1, jnp.int32)
 
-    def body(k, carry):
-        alive, order = carry
+    def cond(carry):
+        k, alive, _ = carry
+        # early exit once every candidate is picked or suppressed: the
+        # skipped rounds would only write -1 (semantics unchanged; the
+        # remaining order entries were initialised to -1)
+        return (k < max_dets) & jnp.any(alive & (s > -jnp.inf))
+
+    def body(carry):
+        k, alive, order = carry
         sa = jnp.where(alive, s, -jnp.inf)
         i = jnp.argmax(sa)
         ok = sa[i] > -jnp.inf
         order = order.at[k].set(jnp.where(ok, i.astype(jnp.int32), -1))
         row = oks_row(kpts[i], kpts, areas[i], areas, sig)
         alive = alive & (row <= thr) & (idx != i)
-        return alive, order
+        return k + 1, alive, order
 
-    _, order = jax.lax.fori_loop(0, max_dets, body, (valid, order0))
+    _, _, order = jax.lax.while_loop(cond, body, (0, valid, order0))
     out_valid = order >= 0
     return jnp.where(out_valid, order, 0), out_valid
 
@@ -117,17 +124,23 @@ def soft_oks_nms_fixed(kpts: jnp.ndarray,
     s0 = jnp.where(valid, scores.astype(jnp.float32), -jnp.inf)
     order0 = jnp.full((max_dets,), -1, jnp.int32)
 
-    def body(k, carry):
-        s, order = carry
+    def cond(carry):
+        k, s, _ = carry
+        # early exit once every candidate has been picked (all -inf);
+        # the skipped rounds would only write -1
+        return (k < max_dets) & jnp.any(s > -jnp.inf)
+
+    def body(carry):
+        k, s, order = carry
         i = jnp.argmax(s)
         ok = s[i] > -jnp.inf
         order = order.at[k].set(jnp.where(ok, i.astype(jnp.int32), -1))
         row = oks_row(kpts[i], kpts, areas[i], areas, sig)
         s = s * jnp.exp(-(row ** 2) / thr)
         s = s.at[i].set(-jnp.inf)
-        return s, order
+        return k + 1, s, order
 
-    _, order = jax.lax.fori_loop(0, max_dets, body, (s0, order0))
+    _, _, order = jax.lax.while_loop(cond, body, (0, s0, order0))
     out_valid = order >= 0
     return jnp.where(out_valid, order, 0), out_valid
 
