@@ -59,7 +59,15 @@ def main():
 
     H, W = 640, 1152          # Panoptic test bucket (1920x1080 * 0.593)
     B = 4
-    cfg, model, variables = _build(img_hw=(H, W), dtype=jnp.bfloat16)
+    # Serving mode: 'hybrid' r=1 is exact DCNv2 semantics — the dense
+    # gather-free shift base plus lax.cond-gated exact repairs of any
+    # out-of-radius pixels (zero at init, so the repair branch does not
+    # execute here; for a trained checkpoint, bound the repair rate first
+    # with tools/validate_hybrid.py and fall back to the bitwise-exact
+    # 'patch' gathers if offsets routinely leave the radius box).
+    cfg, model, variables = _build(
+        img_hw=(H, W), dtype=jnp.bfloat16,
+        head_overrides=dict(dcn_gather_mode='hybrid', dcn_shift_radius=1))
     head = cfg.model.bbox_head
     strides = tuple(head.strides)
     J = int(head.num_joints)

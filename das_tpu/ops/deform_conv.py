@@ -66,8 +66,13 @@ def modulated_deform_conv(x: jnp.ndarray,
     if gather_mode in ('shift_pallas', 'hybrid_pallas'):
         from .pallas_dcn import deform_conv_shift_pallas
         # devices()[0].platform, not default_backend(): the axon plugin
-        # reports backend 'tpu' even when jax_platforms forces cpu
-        interpret = jax.devices()[0].platform != 'tpu'
+        # reports backend 'tpu' even when jax_platforms forces cpu.
+        # Honor a jax.default_device(cpu) context too (init_all runs
+        # eager param init on the host CPU backend).
+        dd = jax.config.jax_default_device
+        platform = dd.platform if dd is not None \
+            else jax.devices()[0].platform
+        interpret = platform != 'tpu'
         base = deform_conv_shift_pallas(x, offset, mask, weight, bias,
                                         K=K, padding=padding,
                                         radius=shift_radius,

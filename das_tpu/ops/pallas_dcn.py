@@ -36,13 +36,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _pick_block_h(h: int) -> int:
-    for bh in (8, 4, 5, 2, 1):
+    for bh in (4, 2, 5, 1):
         if h % bh == 0:
             return bh
     return 1
 
 
-def _kernel(off_ref, m_ref, w_ref, xp_hbm, out_ref, band, sem,
+def _kernel(off_ref, m_ref, w_ref, xp_hbm, out_ref, band, out_acc, sem,
             *, K: int, padding: int, radius: int, bh: int, P: int,
             w_dim: int, cin: int, cout: int, dtype):
     n = pl.program_id(0)
@@ -58,7 +58,7 @@ def _kernel(off_ref, m_ref, w_ref, xp_hbm, out_ref, band, sem,
     r = float(radius)
     dma.wait()
 
-    out_acc = jnp.zeros((bh * w_dim, cout), jnp.float32)
+    out_acc[...] = jnp.zeros((bh * w_dim, cout), jnp.float32)
     for k in range(K * K):
         kh, kw = divmod(k, K)
         dy = jnp.clip(off[..., 2 * k], -r, r) + (kh - padding)
@@ -74,10 +74,13 @@ def _kernel(off_ref, m_ref, w_ref, xp_hbm, out_ref, band, sem,
                 acc = acc + rows[:, ix + P:ix + P + w_dim, :] \
                     * wgt[..., None].astype(dtype)
         acc = acc * m[..., k:k + 1].astype(dtype)
-        out_acc = out_acc + jnp.dot(acc.reshape(bh * w_dim, cin),
-                                    w_ref[k],
-                                    preferred_element_type=jnp.float32)
-    out_ref[0] = out_acc.reshape(bh, w_dim, cout).astype(out_ref.dtype)
+        # accumulate through VMEM scratch: full unroll otherwise keeps
+        # all 9 taps' f32 partials live and blows the vmem stack budget
+        out_acc[...] = out_acc[...] + jnp.dot(
+            acc.reshape(bh * w_dim, cin), w_ref[k],
+            preferred_element_type=jnp.float32)
+    out_ref[0] = out_acc[...].reshape(bh, w_dim, cout).astype(
+        out_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=('K', 'padding', 'radius',
@@ -134,8 +137,11 @@ def deform_conv_shift_pallas(x: jnp.ndarray,
         out_shape=jax.ShapeDtypeStruct((N, H, W8, Cout), x.dtype),
         scratch_shapes=[
             pltpu.VMEM((bh + 2 * P, Wp, Cin), x.dtype),
+            pltpu.VMEM((bh * W8, Cout), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(off_f, mask_c, w_r, xp)
     if W8 != W:
