@@ -59,15 +59,42 @@ def main():
 
     H, W = 640, 1152          # Panoptic test bucket (1920x1080 * 0.593)
     B = 4
-    # Serving mode: 'hybrid' r=1 is exact DCNv2 semantics — the dense
-    # gather-free shift base plus lax.cond-gated exact repairs of any
-    # out-of-radius pixels (zero at init, so the repair branch does not
-    # execute here; for a trained checkpoint, bound the repair rate first
-    # with tools/validate_hybrid.py and fall back to the bitwise-exact
-    # 'patch' gathers if offsets routinely leave the radius box).
+    # Serving mode: 'hybrid_pallas' r=1 is exact DCNv2 semantics — the
+    # fused-Pallas gather-free shift base plus lax.cond-gated exact
+    # repairs of any out-of-radius pixels (zero at init, so the repair
+    # branch does not execute here; for a trained checkpoint, bound the
+    # repair rate first with tools/validate_hybrid.py and fall back to
+    # the bitwise-exact 'patch' gathers if offsets routinely leave the
+    # radius box). The environment's remote Mosaic compiler once served
+    # a sticky corrupt artifact (STATUS.md), so verify the kernel against
+    # the XLA shift path at the real level-0 shape first and fall back
+    # to the XLA 'hybrid' lowering on any mismatch.
+    mode = 'hybrid_pallas'
+    try:
+        from das_tpu.ops.deform_conv import _deform_conv_shift
+        from das_tpu.ops.pallas_dcn import deform_conv_shift_pallas
+        rng0 = np.random.RandomState(1)
+        px = jnp.asarray(rng0.randn(1, H // 8, W // 8, 256), jnp.bfloat16)
+        po = jnp.asarray(rng0.randn(1, H // 8, W // 8, 18), jnp.float32)
+        pm = jnp.asarray(
+            1 / (1 + np.exp(-rng0.randn(1, H // 8, W // 8, 9))),
+            jnp.bfloat16)
+        pw = jnp.asarray(rng0.randn(3, 3, 256, 256) * 0.05, jnp.bfloat16)
+        got = np.asarray(
+            deform_conv_shift_pallas(px, po, pm, pw, None, radius=1),
+            np.float32)
+        want = np.asarray(jax.jit(
+            lambda *a: _deform_conv_shift(*a, 3, 1, 1))(px, po, pm, pw,
+                                                        None), np.float32)
+        scale = max(1e-6, float(np.abs(want).max()))
+        if not np.isfinite(got).all() or \
+                float(np.abs(got - want).max()) / scale > 0.02:
+            mode = 'hybrid'
+    except Exception:
+        mode = 'hybrid'
     cfg, model, variables = _build(
         img_hw=(H, W), dtype=jnp.bfloat16,
-        head_overrides=dict(dcn_gather_mode='hybrid', dcn_shift_radius=1))
+        head_overrides=dict(dcn_gather_mode=mode, dcn_shift_radius=1))
     head = cfg.model.bbox_head
     strides = tuple(head.strides)
     J = int(head.num_joints)
@@ -145,7 +172,8 @@ def main():
         metric='panoptic_e2e_inference_img_per_s_per_chip',
         value=round(img_per_s, 3),
         unit='img/s',
-        vs_baseline=round(img_per_s / TORCH_CPU_BASELINE_IMG_S, 2))))
+        vs_baseline=round(img_per_s / TORCH_CPU_BASELINE_IMG_S, 2),
+        dcn_mode=mode)))
 
 
 if __name__ == '__main__':

@@ -292,8 +292,11 @@ def save_torch_checkpoint(variables: Dict[str, Any], path: str,
                           meta: Dict = None):
     """Write a torch-loadable .pth with the reference layout."""
     import torch
-    sd = {k: torch.from_numpy(np.ascontiguousarray(v))
-          for k, v in export_torch_state_dict(variables).items()}
+    # np.ascontiguousarray promotes 0-dim scalars to shape (1,) — reshape
+    # back so Scale params round-trip at the reference's () shape
+    sd = {k: torch.from_numpy(
+        np.ascontiguousarray(v)).reshape(np.shape(v))
+        for k, v in export_torch_state_dict(variables).items()}
     torch.save(dict(state_dict=sd, meta=meta or {}), path)
 
 

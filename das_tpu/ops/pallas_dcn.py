@@ -63,16 +63,22 @@ def _kernel(off_ref, m_ref, w_ref, xp_hbm, out_ref, band, out_acc, sem,
         kh, kw = divmod(k, K)
         dy = jnp.clip(off[..., 2 * k], -r, r) + (kh - padding)
         dx = jnp.clip(off[..., 2 * k + 1], -r, r) + (kw - padding)
+        # relayout ONCE per tap into (bh, W, 1) [W on sublane] and build
+        # every hat weight there: broadcasting a (bh, W)-lane plane into
+        # the (W-sublane, C-lane) accumulator forces a per-shift
+        # relayout — 16 of them per tap measured 9x off the VPU roofline
+        dy3 = dy[..., None]
+        dx3 = dx[..., None]
         acc = jnp.zeros((bh, w_dim, cin), dtype)
         for iy in range(kh - padding - radius,
                         kh - padding + radius + 2):
-            wy = jnp.maximum(0.0, 1.0 - jnp.abs(iy - dy))   # (bh, W) f32
-            rows = band[iy + P:iy + P + bh]                 # (bh, Wp, C)
+            wy3 = jnp.maximum(0.0, 1.0 - jnp.abs(iy - dy3))  # (bh,W,1)
+            rows = band[iy + P:iy + P + bh]                  # (bh,Wp,C)
             for ix in range(kw - padding - radius,
                             kw - padding + radius + 2):
-                wgt = wy * jnp.maximum(0.0, 1.0 - jnp.abs(ix - dx))
+                wgt3 = wy3 * jnp.maximum(0.0, 1.0 - jnp.abs(ix - dx3))
                 acc = acc + rows[:, ix + P:ix + P + w_dim, :] \
-                    * wgt[..., None].astype(dtype)
+                    * wgt3.astype(dtype)
         acc = acc * m[..., k:k + 1].astype(dtype)
         # accumulate through VMEM scratch: full unroll otherwise keeps
         # all 9 taps' f32 partials live and blows the vmem stack budget
@@ -84,7 +90,7 @@ def _kernel(off_ref, m_ref, w_ref, xp_hbm, out_ref, band, out_acc, sem,
 
 
 @functools.partial(jax.jit, static_argnames=('K', 'padding', 'radius',
-                                             'interpret'))
+                                             'interpret', 'block_h'))
 def deform_conv_shift_pallas(x: jnp.ndarray,
                              offset: jnp.ndarray,
                              mask: jnp.ndarray,
@@ -93,7 +99,8 @@ def deform_conv_shift_pallas(x: jnp.ndarray,
                              K: int = 3,
                              padding: int = 1,
                              radius: int = 1,
-                             interpret: bool = False) -> jnp.ndarray:
+                             interpret: bool = False,
+                             block_h: int | None = None) -> jnp.ndarray:
     """DCNv2 shift expansion in one fused VMEM pass per row band.
 
     Args match ``deform_conv.modulated_deform_conv``: x (N,H,W,Cin) NHWC,
@@ -104,7 +111,7 @@ def deform_conv_shift_pallas(x: jnp.ndarray,
     Cout = weight.shape[-1]
     KK = K * K
     P = padding + radius + 1
-    bh = _pick_block_h(H)
+    bh = block_h if block_h and H % block_h == 0 else _pick_block_h(H)
 
     # Mosaic slice-shape alignment: every sliced extent in the last two
     # (sublane, lane) dims must be a tile multiple — pad the width to a
