@@ -31,7 +31,8 @@ from .layers import ConvModule
 Dtype = Any
 
 
-def _resolve_gather_mode(mode: str, table_rows: int) -> str:
+def _resolve_gather_mode(mode: str, table_rows: int,
+                         train: bool = False) -> str:
     """Resolve the gather lowering used by the offset sampling.
 
     Quiet-window e2e measurements (tools/analysis_tools/e2e_mode_bench.py
@@ -41,11 +42,16 @@ def _resolve_gather_mode(mode: str, table_rows: int) -> str:
     (dcn_bench.py, round 3): 'clip' 174 ms, 'one_hot' 223 ms (the
     one-hot matmul burns table_rows^2 MXU work). All lowerings are
     bit-equal (test-pinned); the knob stays because the ranking is
-    backend-dependent."""
+    backend-dependent.
+
+    TRAIN resolves to 'clip': the transpose of the patch slice-gather is
+    a windowed scatter-add whose execution crashed the v5e TPU worker
+    ("kernel fault", reproduced 3x at B in {2, 4}, round 4) — the
+    row-gather adjoint runs fine."""
     del table_rows
     if mode != 'auto':
         return mode
-    return 'patch'
+    return 'clip' if train else 'patch'
 
 
 def _offset_sample(uvd: jnp.ndarray,
@@ -54,7 +60,8 @@ def _offset_sample(uvd: jnp.ndarray,
                    num_joints: int,
                    num_heads: int,
                    dim: int,
-                   gather_mode: str = 'auto') -> jnp.ndarray:
+                   gather_mode: str = 'auto',
+                   train: bool = False) -> jnp.ndarray:
     """Multi-head deformable re-sampling of the joint-offset field.
 
     Args (all NHWC):
@@ -66,7 +73,7 @@ def _offset_sample(uvd: jnp.ndarray,
     """
     N, H, W, _ = uvd.shape
     J, Hd, D = num_joints, num_heads, dim
-    gather_mode = _resolve_gather_mode(gather_mode, H * W)
+    gather_mode = _resolve_gather_mode(gather_mode, H * W, train)
 
     # fold joints into the batch axis: (N*J, H, W, c)
     def fold(x, c):
@@ -137,7 +144,8 @@ def _offset_sample_sparse(uvd: jnp.ndarray,
                           num_joints: int,
                           num_heads: int,
                           dim: int,
-                          gather_mode: str = 'auto') -> jnp.ndarray:
+                          gather_mode: str = 'auto',
+                          train: bool = False) -> jnp.ndarray:
     """``_offset_sample`` restricted to ``select_idx`` flat spatial points.
 
     Eval-path optimization: the fused decode consumes at most ``nms_pre``
@@ -157,7 +165,7 @@ def _offset_sample_sparse(uvd: jnp.ndarray,
     N, H, W, _ = uvd.shape
     J, Hd, D = num_joints, num_heads, dim
     K = select_idx.shape[1]
-    gather_mode = _resolve_gather_mode(gather_mode, H * W)
+    gather_mode = _resolve_gather_mode(gather_mode, H * W, train)
 
     def fold(x, c):
         x = x.reshape(N, H, W, J, c)
@@ -346,13 +354,15 @@ class RecursiveUpdateLayer(nn.Module):
         if select_idx is None:
             new_offset = _offset_sample(
                 offset, samp_off, samp_conf, self.num_joints,
-                self.num_heads, self.dim, gather_mode=self.gather_mode)
+                self.num_heads, self.dim, gather_mode=self.gather_mode,
+                train=train)
             return feat, new_offset
         # sparse eval path: refine only the selected points; the dense
         # gated field is returned as the scatter base for the rest
         refined = _offset_sample_sparse(
             offset, samp_off, samp_conf, select_idx, self.num_joints,
-            self.num_heads, self.dim, gather_mode=self.gather_mode)
+            self.num_heads, self.dim, gather_mode=self.gather_mode,
+            train=train)
         return feat, (offset, refined)
 
 

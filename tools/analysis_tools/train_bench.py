@@ -23,6 +23,9 @@ def main():
     ap.add_argument('--width', type=int, default=960)
     ap.add_argument('--iters', type=int, default=4)
     ap.add_argument('--groups', type=int, default=4)
+    ap.add_argument('--ru-mode', default=None,
+                    help="RU sampling gather mode (A/B: 'clip' vs the "
+                         "'auto'->patch default)")
     args = ap.parse_args()
 
     import numpy as np
@@ -39,7 +42,13 @@ def main():
                                              mspn_frozen_prefixes)
 
     cfg = Config.fromfile(args.config)
-    model = build_model(dict(cfg.model), dtype=jnp.bfloat16)
+    mc = dict(cfg.model)
+    if args.ru_mode:
+        mc['bbox_head'] = dict(
+            mc['bbox_head'],
+            recursive_update=dict(mc['bbox_head']['recursive_update'],
+                                  gather_mode=args.ru_mode))
+    model = build_model(mc, dtype=jnp.bfloat16)
     B, H, W = args.batch, args.height, args.width
     variables = dict(model.init_all(jax.random.PRNGKey(0),
                                     jnp.zeros((1, 64, 64, 3))))
@@ -58,7 +67,7 @@ def main():
     step_fn = make_train_step(
         model, tx_update, featmaps, tuple(head.strides),
         tuple(tuple(r) for r in head.regress_ranges), J,
-        max_pos=128 * B, donate=False)
+        max_pos=128 * B, donate=True)
 
     rng = np.random.RandomState(0)
     G = 8
