@@ -68,7 +68,7 @@ class DeformConv2d(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         k = self.kernel_size
         kk = k * k
         raw = nn.Conv(features=3 * kk,
@@ -91,12 +91,20 @@ class DeformConv2d(nn.Module):
         bias = self.param('bias', nn.initializers.zeros,
                           (self.features,), jnp.float32) \
             if self.use_bias else None
+        # Under training the patch slice-gather is replaced by per-corner
+        # row gathers: the windowed scatter-add adjoint of 'patch' crashed
+        # the v5e TPU worker or ran 5.5x slower when it survived
+        # (train_bench A/B, round 4); the lowerings are bit-equal so this
+        # changes execution strategy only, never values or gradients.
+        gather_mode = self.gather_mode
+        if train and gather_mode == 'patch':
+            gather_mode = 'clip'
         return modulated_deform_conv(
             x.astype(self.dtype), offset.astype(self.dtype),
             mask.astype(self.dtype), weight.astype(self.dtype),
             None if bias is None else bias.astype(self.dtype),
             kernel_size=k, padding=self.padding,
-            gather_mode=self.gather_mode,
+            gather_mode=gather_mode,
             shift_radius=self.shift_radius,
             shift_budget=self.shift_budget)
 
@@ -140,7 +148,7 @@ class ConvModule(nn.Module):
                              shift_radius=self.dcn_shift_radius,
                              shift_budget=self.dcn_shift_budget,
                              dtype=self.dtype,
-                             name='conv')(x)
+                             name='conv')(x, train)
         else:
             x = nn.Conv(features=self.features,
                         kernel_size=(self.kernel_size, self.kernel_size),

@@ -23,6 +23,12 @@ def main():
     ap.add_argument('--width', type=int, default=960)
     ap.add_argument('--iters', type=int, default=4)
     ap.add_argument('--groups', type=int, default=4)
+    ap.add_argument('--dcn-mode', default=None,
+                    help="override bbox_head dcn_gather_mode, e.g. "
+                         "'clip' or 'shift:2'")
+    ap.add_argument('--trace', action='store_true',
+                    help='report device-trace op time instead of '
+                         'wall clock (contention-immune)')
     ap.add_argument('--ru-mode', default=None,
                     help="RU sampling gather mode (A/B: 'clip' vs the "
                          "'auto'->patch default)")
@@ -43,6 +49,11 @@ def main():
 
     cfg = Config.fromfile(args.config)
     mc = dict(cfg.model)
+    if args.dcn_mode:
+        mode, _, rad = args.dcn_mode.partition(':')
+        mc['bbox_head'] = dict(mc['bbox_head'], dcn_gather_mode=mode,
+                               **(dict(dcn_shift_radius=int(rad))
+                                  if rad else {}))
     if args.ru_mode:
         mc['bbox_head'] = dict(
             mc['bbox_head'],
@@ -94,6 +105,42 @@ def main():
 
     state, metrics = run_group(state, batch)
     _ = float(np.asarray(metrics['loss']))     # compile + force completion
+
+    if args.trace:
+        # device-side truth: sum the program's own XLA-op intervals —
+        # valid even when the time-shared chip makes wall-clock readings
+        # contention-polluted (10-20x observed)
+        import glob
+        import gzip
+        import json as _json
+        logdir = '/tmp/das_tpu_train_trace'
+        os.system(f'rm -rf {logdir}')
+        jax.profiler.start_trace(logdir)
+        state, metrics = run_group(state, batch)
+        _ = float(np.asarray(metrics['loss']))
+        jax.profiler.stop_trace()
+        tr = glob.glob(f'{logdir}/plugins/profile/*/*.trace.json.gz')
+        with gzip.open(tr[0]) as f:
+            evs = _json.load(f)['traceEvents']
+        tpu_pid = next(e['pid'] for e in evs
+                       if e.get('ph') == 'M'
+                       and e.get('name') == 'process_name'
+                       and 'TPU' in str(e['args'].get('name', '')))
+        ops_tid = next(e['tid'] for e in evs
+                       if e.get('ph') == 'M'
+                       and e.get('name') == 'thread_name'
+                       and e.get('pid') == tpu_pid
+                       and e['args'].get('name') == 'XLA Ops')
+        dev_us = sum(e['dur'] for e in evs if e.get('ph') == 'X'
+                     and e.get('pid') == tpu_pid
+                     and e.get('tid') == ops_tid)
+        dev_ms = dev_us / 1e3 / iters
+        print(json.dumps(dict(metric='train_step_device_ms',
+                              step_ms=round(dev_ms, 1),
+                              img_per_s=round(B / (dev_ms / 1e3), 2),
+                              batch=B, hw=[H, W],
+                              loss=float(np.asarray(metrics['loss'])))))
+        return
 
     best = float('inf')
     for _ in range(args.groups):
