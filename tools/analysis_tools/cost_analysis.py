@@ -12,8 +12,9 @@ import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..', '..'))
 
-# v5e peaks (public: 394 bf16 TFLOP/s, 819 GB/s HBM)
-PEAK_FLOPS = 394e12
+# v5e peaks (public: 197 bf16 TFLOP/s — the oft-quoted 394 figure is
+# int8 TOPS — and 819 GB/s HBM)
+PEAK_FLOPS = 197e12
 PEAK_BYTES = 819e9
 
 
