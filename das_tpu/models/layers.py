@@ -96,9 +96,14 @@ class DeformConv2d(nn.Module):
         # the v5e TPU worker or ran 5.5x slower when it survived
         # (train_bench A/B, round 4); the lowerings are bit-equal so this
         # changes execution strategy only, never values or gradients.
+        # The fused Pallas modes are eval-only (no custom VJP) — training
+        # falls back to their XLA equivalents, same semantics.
         gather_mode = self.gather_mode
-        if train and gather_mode == 'patch':
-            gather_mode = 'clip'
+        if train:
+            gather_mode = {'patch': 'clip',
+                           'shift_pallas': 'shift',
+                           'hybrid_pallas': 'hybrid'}.get(gather_mode,
+                                                          gather_mode)
         return modulated_deform_conv(
             x.astype(self.dtype), offset.astype(self.dtype),
             mask.astype(self.dtype), weight.astype(self.dtype),
