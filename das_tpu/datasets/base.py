@@ -79,7 +79,11 @@ class BasePoseDataset:
         if data_root is not None and not os.path.isabs(ann_file):
             ann_file = os.path.join(data_root, ann_file)
         self.ann_file = ann_file
-        self.img_prefix = img_prefix
+        # configs that give only data_root (MuPoTS/MuCo, matching the
+        # reference) expect image file_names resolved against it — the
+        # reference's evaluate() strips data_root from the loaded image
+        # paths (ref mupots_3dhp.py:209-214), so the prefix must be it
+        self.img_prefix = img_prefix or (data_root or '')
         self.test_mode = test_mode
         self.load_interval = load_interval
 
