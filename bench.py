@@ -168,11 +168,17 @@ def main():
 
     img_per_s = B * group / best_dt
     _record_best(img_per_s)
+    import platform
     print(json.dumps(dict(
         metric='panoptic_e2e_inference_img_per_s_per_chip',
         value=round(img_per_s, 3),
         unit='img/s',
         vs_baseline=round(img_per_s / TORCH_CPU_BASELINE_IMG_S, 2),
+        # provenance of the comparator so vs_baseline is traceable:
+        # tools/torch_cpu_baseline.py, measured on THIS host class
+        baseline_img_per_s=TORCH_CPU_BASELINE_IMG_S,
+        baseline_threads=1,
+        baseline_host=platform.machine(),
         dcn_mode=mode)))
 
 

@@ -102,9 +102,20 @@ class BasePoseDataset:
             self.img_ids = self.img_ids[::load_interval]
             self.data_infos = self.data_infos[::load_interval]
 
+        # keyed on the annotation-relative file_name (unique by COCO
+        # construction); the basename map is a fallback for callers that
+        # hand back bare filenames — ambiguous when different
+        # subdirectories share basenames, so duplicates are tracked and
+        # refuse silent misattribution in _result_image_id
         self.name2id = {}
+        self._basename2id = {}
+        self._dup_basenames = set()
         for info in self.data_infos:
-            self.name2id[os.path.basename(info['file_name'])] = info['id']
+            self.name2id[info['file_name']] = info['id']
+            base = os.path.basename(info['file_name'])
+            if base in self._basename2id:
+                self._dup_basenames.add(base)
+            self._basename2id[base] = info['id']
 
         self.pipeline = Compose(pipeline) if pipeline else None
 
@@ -150,8 +161,24 @@ class BasePoseDataset:
 
     # ------------------------------------------------- result formatting
     def _result_image_id(self, image_path: str) -> int:
-        """Map an output image path back to its COCO image id."""
-        return self.name2id[os.path.basename(image_path)]
+        """Map an output image path back to its COCO image id.
+
+        Tries the img_prefix-relative path first (the unique key);
+        falls back to the basename only when it is unambiguous."""
+        prefix = self.img_prefix or ''
+        if prefix and not prefix.endswith('/'):
+            prefix += '/'
+        rel = image_path[len(prefix):] \
+            if prefix and image_path.startswith(prefix) else image_path
+        if rel in self.name2id:
+            return self.name2id[rel]
+        base = os.path.basename(image_path)
+        if base in self._dup_basenames:
+            raise KeyError(
+                f'{image_path!r}: basename {base!r} is shared by several '
+                f'images and the prefix-relative lookup missed — cannot '
+                f'attribute results unambiguously')
+        return self._basename2id[base]
 
     def format_results(self, outputs: List[Dict], res_folder: str = None,
                        res_file: str = None):

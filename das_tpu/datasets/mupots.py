@@ -297,6 +297,12 @@ class MuPots3DHP(BasePoseDataset):
         self.use_bbox_center = use_bbox_center
         self.norm_depth = norm_depth
         self.depth_factor = depth_factor
+        # abs_dz targets are defined relative to the normalized root
+        # depth; without norm_depth the flag silently changes nothing
+        # in _parse_ann_info/evaluate — fail loudly instead
+        # (ref mupots_3dhp.py abs_dz path assumes norm_depth)
+        assert not abs_dz or norm_depth, \
+            'abs_dz=True requires norm_depth=True'
         self.abs_dz = abs_dz
         self.num_workers = num_workers
         # Single-sequence restriction (0-based: eval_seq=0 -> TS1). The

@@ -162,7 +162,7 @@ class CMUPanopticDataset(BasePoseDataset):
 
         results_by_image = defaultdict(list)
         for out in outputs:
-            image_id = self.name2id[os.path.basename(out['image_paths'][0])]
+            image_id = self._result_image_id(out['image_paths'][0])
             for kpt in np.asarray(out['poses']):
                 results_by_image[image_id].append(kpt[:, :3])
 

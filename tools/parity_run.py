@@ -50,7 +50,10 @@ def parse_args():
     p.add_argument('--mupots-config', default='configs/das/exp_mupots.py')
     p.add_argument('--batch-size', type=int, default=4)
     p.add_argument('--rungs', default='1,2,3')
-    p.add_argument('--flip-test', action='store_true', default=True)
+    p.add_argument('--flip-test', action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help='rung-2 flip-test augmentation (--no-flip-test '
+                        'to disable; reference MuPoTS eval uses it)')
     p.add_argument('--ref-mpjpe', type=float, default=None,
                    help='reference-run Panoptic MPJPE (mm) for the delta')
     p.add_argument('--ref-pck', type=float, default=None,

@@ -11,7 +11,9 @@ layer's offset field (sown in ``DeformConv2d``), and reports per layer
   max |offset|            -> smallest radius that keeps 'shift' exact
   flagged pixels / image  -> smallest budget that keeps 'hybrid' exact
 
-Exit code 0 iff every layer fits --radius/--budget.
+Exit code 0 iff the ``--mode`` condition holds: 'hybrid' (default) needs
+every layer's flagged-pixel count <= --budget; 'shift' needs every
+layer's max |offset| <= --radius; 'both' needs both.
 
 Usage:
     python tools/validate_hybrid.py --ckpt work/latest.pth \
@@ -39,6 +41,9 @@ def main():
     p.add_argument('--width', type=int, default=960)
     p.add_argument('--radius', type=int, default=2)
     p.add_argument('--budget', type=int, default=2048)
+    p.add_argument('--mode', choices=('shift', 'hybrid', 'both'),
+                   default='hybrid',
+                   help='which lowering the exit code certifies')
     args = p.parse_args()
 
     import numpy as np
@@ -101,7 +106,9 @@ def main():
           f'{"yes" if shift_ok else "NO"};  '
           f'hybrid(r={args.radius}, budget={args.budget}) exact: '
           f'{"yes" if hybrid_ok else "NO"}')
-    sys.exit(0 if hybrid_ok else 1)
+    ok = dict(shift=shift_ok, hybrid=hybrid_ok,
+              both=shift_ok and hybrid_ok)[args.mode]
+    sys.exit(0 if ok else 1)
 
 
 if __name__ == '__main__':
