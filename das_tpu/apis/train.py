@@ -78,7 +78,12 @@ def train_model(cfg: Config,
                          num_workers=int(cfg.data.get('workers_per_gpu', 4)),
                          seed=seed,
                          shard_id=jax.process_index(),
-                         num_shards=jax.process_count())
+                         num_shards=jax.process_count(),
+                         # 'process' = spawned worker processes (torch
+                         # DataLoader-style), escaping the GIL on
+                         # multi-core hosts; batches are order-identical
+                         worker_type=cfg.data.get('worker_type', 'thread'),
+                         dataset_cfg=train_data_cfg)
     steps_per_epoch = loader.steps_per_epoch
 
     # ---------------- model + state

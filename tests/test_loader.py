@@ -67,3 +67,40 @@ def test_train_pad_hw_from_cfg():
                  img_scale=[(1333, 512), (1333, 640)],
                  multiscale_mode='range', keep_ratio=True)]
     assert train_pad_hw_from_cfg(pipe) == (640, 1344)
+
+
+def test_process_loader_matches_thread(tmp_path):
+    """worker_type='process' must yield bit-identical batches in the
+    same order as the thread pool (same seed, same shuffle)."""
+    import pytest
+    pytest.importorskip('cv2')
+    import sys, os
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_train_api import make_train_dataset
+    from das_tpu.datasets import build_dataset
+
+    ann = make_train_dataset(str(tmp_path), n_images=6)
+    ds_cfg = dict(type='CMUPanopticDataset', ann_file=ann,
+                  img_prefix=str(tmp_path), norm_depth=True, abs_dz=True,
+                  depth_factor=1,
+                  pipeline=[
+                      dict(type='LoadImageFromFile', to_float32=True),
+                      dict(type='LoadAnnotationsPose3D', with_bbox=True,
+                           with_label=True),
+                      dict(type='Collect3D',
+                           keys=['img', 'gt_bboxes', 'gt_labels',
+                                 'gt_poses_3d', 'gt_labels_3d',
+                                 'centers2d', 'depths'],
+                           num_joints=15),
+                  ])
+    dataset = build_dataset(ds_cfg)
+    kw = dict(batch_size=2, pad_hw=(96, 128), num_joints=15, max_gt=4,
+              seed=7)
+    lt = TrainLoader(dataset, num_workers=2, **kw)
+    lp = TrainLoader(dataset, num_workers=2, worker_type='process',
+                     dataset_cfg=ds_cfg, **kw)
+    it_t, it_p = iter(lt), iter(lp)
+    for _ in range(4):
+        bt, bp = next(it_t), next(it_p)
+        for k in bt:
+            np.testing.assert_array_equal(bt[k], bp[k])

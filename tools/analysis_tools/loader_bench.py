@@ -55,6 +55,8 @@ def main():
     ap.add_argument('--batch', type=int, default=16)
     ap.add_argument('--steps', type=int, default=12)
     ap.add_argument('--images', type=int, default=64)
+    ap.add_argument('--worker-type', default='thread',
+                    choices=('thread', 'process'))
     args = ap.parse_args()
 
     from das_tpu.config import Config
@@ -73,7 +75,9 @@ def main():
     dataset = build_dataset(ds_cfg)
 
     loader = TrainLoader(dataset, args.batch, (800, 1344), 15,
-                         num_workers=args.workers)
+                         num_workers=args.workers,
+                         worker_type=args.worker_type,
+                         dataset_cfg=ds_cfg)
     it = iter(loader)
     next(it)                                     # warm the pool
     t0 = time.perf_counter()
@@ -83,6 +87,7 @@ def main():
         n += batch['img'].shape[0]
     dt = time.perf_counter() - t0
     print(json.dumps(dict(workers=args.workers, batch=args.batch,
+                          worker_type=args.worker_type,
                           img_per_s=round(n / dt, 2),
                           ms_per_batch=round(dt / args.steps * 1e3, 1))))
 
