@@ -51,7 +51,11 @@ model = dict(
         ),
     ),
     train_cfg=dict(
-        code_weight=[1.0, 1.0, 1] + [2] * num_joints * 6),
+        code_weight=[1.0, 1.0, 1] + [2] * num_joints * 6,
+        # TPU addition (loss-bitwise-identical, see exp_panoptic.py);
+        # with num_layers=2 only the LAST layer sparsifies — layer 0
+        # stays dense because layer 1 consumes its full refined field
+        sparse_refine=True),
     test_cfg=dict(
         nms_across_levels=False,
         nms_pre=1000,

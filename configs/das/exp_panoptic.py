@@ -48,7 +48,12 @@ model = dict(
         ),
     ),
     train_cfg=dict(
-        code_weight=[1.0, 1.0, 1] + [2] * num_joints * 6),
+        code_weight=[1.0, 1.0, 1] + [2] * num_joints * 6,
+        # TPU addition (loss- and gradient-bitwise-identical, pinned by
+        # tests/test_model.py): run the recursive-update re-sampling only
+        # at the assigned positive points — the loss never reads the
+        # refined field anywhere else
+        sparse_refine=True),
     test_cfg=dict(
         nms_across_levels=False,
         nms_pre=1000,

@@ -23,8 +23,17 @@ from ..models import DAS, build_model
 
 def init_model(config, checkpoint: Optional[str] = None,
                dtype=jnp.float32, seed: int = 0,
-               input_shape: Tuple[int, int] = (64, 64)):
-    """Build model + variables; optionally load a torch .pth checkpoint."""
+               input_shape: Tuple[int, int] = (64, 64),
+               validate_dcn: bool = True):
+    """Build model + variables; optionally load a torch .pth checkpoint.
+
+    When the config selects a shift/hybrid DCN lowering and weights were
+    loaded, the learned conv_offset fields are bounds-checked once
+    (``validate_dcn_offsets``); if the checkpoint's offsets exceed the
+    configured radius/budget the model is rebuilt with the exact 'patch'
+    gathers and a warning is printed — a loaded-checkpoint eval can
+    never silently serve approximate DCNv2.
+    """
     if isinstance(config, str):
         config = Config.fromfile(config)
     model = build_model(dict(config.model), dtype=dtype)
@@ -37,7 +46,65 @@ def init_model(config, checkpoint: Optional[str] = None,
         if report['missing']:
             print(f'[das_tpu] checkpoint missing {len(report["missing"])} '
                   'leaves (kept init values)')
+        head = dict(config.model['bbox_head'])
+        mode = head.get('dcn_gather_mode', 'patch')
+        if validate_dcn and mode in ('shift', 'shift_pallas',
+                                     'hybrid', 'hybrid_pallas'):
+            radius = int(head.get('dcn_shift_radius', 2))
+            budget = int(head.get('dcn_shift_budget', 2048))
+            shift_ok, hybrid_ok, worst = validate_dcn_offsets(
+                model, variables, radius, budget)
+            ok = shift_ok if mode.startswith('shift') else hybrid_ok
+            if not ok:
+                print(f"[das_tpu] WARNING: checkpoint offsets exceed the "
+                      f"'{mode}' lowering's exactness bound "
+                      f"(radius={radius}, budget={budget}; worst layer: "
+                      f"max|off|={worst[0]:.2f}, flagged/img={worst[1]}) "
+                      f"— falling back to exact 'patch' gathers")
+                mc = dict(config.model)
+                mc['bbox_head'] = dict(head, dcn_gather_mode='patch')
+                config.model = mc
+                model = build_model(mc, dtype=dtype)
     return model, variables, config
+
+
+def validate_dcn_offsets(model, variables, radius: int, budget: int,
+                         hw: Tuple[int, int] = (256, 320),
+                         batch: int = 2, seed: int = 0):
+    """Bound every DCN layer's learned offsets on random-normal inputs.
+
+    Returns (shift_ok, hybrid_ok, (worst max|off|, worst flagged/img)).
+    The same check as tools/validate_hybrid.py (which prints the
+    per-layer table); random inputs exercise the trained conv_offset
+    weights but are a heuristic certificate — the runtime cond-gated
+    repair in the 'hybrid' lowerings stays the exactness backstop for
+    any single image within budget (das_tpu/ops/deform_conv.py).
+    """
+    from ..ops.deform_conv import deform_offset_overflow
+
+    rng = np.random.RandomState(seed)
+    img = jnp.asarray(rng.randn(batch, *hw, 3), jnp.float32)
+
+    @jax.jit
+    def fwd(v, x):
+        _, inter = model.apply(v, x, train=False,
+                               mutable=['intermediates'])
+        return inter['intermediates']
+
+    inter = fwd(variables, img)
+    worst_off, worst_flagged = 0.0, 0
+    for path, leaf in jax.tree_util.tree_leaves_with_path(inter):
+        name = '/'.join(str(getattr(k, 'key', k)) for k in path)
+        if 'dcn_offset' not in name:
+            continue
+        off = np.asarray(leaf[0] if isinstance(leaf, tuple) else leaf,
+                         np.float32)
+        worst_off = max(worst_off, float(np.abs(off).max()))
+        worst_flagged = max(worst_flagged, int(np.asarray(
+            deform_offset_overflow(jnp.asarray(off), radius,
+                                   budget=0)).max()))
+    return (worst_off <= radius, worst_flagged <= budget,
+            (worst_off, worst_flagged))
 
 
 def make_predict_fn(model: DAS, test_cfg: Dict, num_joints: int,

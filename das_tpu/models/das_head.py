@@ -79,6 +79,7 @@ class DASHead(nn.Module):
     # 'one_hot' are bit-equal; 'shift' is the gather-free streaming mode,
     # exact while learned offsets stay within +-dcn_shift_radius px)
     dcn_gather_mode: str = 'patch'
+    dcn_train_gather_mode: str = 'auto'
     dcn_shift_radius: int = 2
     dcn_shift_budget: int = 2048
     conv_bias: Any = True
@@ -113,6 +114,7 @@ class DASHead(nn.Module):
         kw = dict(norm_cfg=norm_cfg, bias=self.conv_bias, dtype=self.dtype,
                   axis_name=self.axis_name, kernel_init=init01,
                   dcn_gather_mode=self.dcn_gather_mode,
+                  dcn_train_gather_mode=self.dcn_train_gather_mode,
                   dcn_shift_radius=self.dcn_shift_radius,
                   dcn_shift_budget=self.dcn_shift_budget)
         # fine-grained remat: each ConvModule is its own region, so the
@@ -160,6 +162,7 @@ class DASHead(nn.Module):
         ru.setdefault('num_joints', self.num_joints)
         ru.setdefault('remat', self.remat)
         ru.setdefault('dcn_gather_mode', self.dcn_gather_mode)
+        ru.setdefault('dcn_train_gather_mode', self.dcn_train_gather_mode)
         ru.setdefault('dcn_shift_radius', self.dcn_shift_radius)
         ru.setdefault('dcn_shift_budget', self.dcn_shift_budget)
         self.recursive_update_branch = RecursiveUpdateBranch(

@@ -63,6 +63,15 @@ class DeformConv2d(nn.Module):
     # 'hybrid' adds exact sparse corrections for up to shift_budget
     # out-of-radius taps per image on top of the shift base.
     gather_mode: str = 'patch'
+    # Training-time lowering override. 'auto' keeps the eval mode's
+    # semantics with a train-safe execution strategy (patch -> clip
+    # row gathers: the windowed scatter-add adjoint of 'patch' crashed
+    # the v5e worker; pallas modes -> their XLA equivalents: the fused
+    # kernels have no VJP). Setting it explicitly (e.g. 'hybrid') trades
+    # the gather adjoint for the dense shift expansion, whose transpose
+    # is itself dense shifts — measured 3.4x faster train step, exact
+    # DCNv2 values AND gradients while deform_offset_overflow == 0.
+    train_gather_mode: str = 'auto'
     shift_radius: int = 2
     shift_budget: int = 2048
     dtype: Dtype = jnp.float32
@@ -100,10 +109,13 @@ class DeformConv2d(nn.Module):
         # falls back to their XLA equivalents, same semantics.
         gather_mode = self.gather_mode
         if train:
-            gather_mode = {'patch': 'clip',
-                           'shift_pallas': 'shift',
-                           'hybrid_pallas': 'hybrid'}.get(gather_mode,
-                                                          gather_mode)
+            if self.train_gather_mode != 'auto':
+                gather_mode = self.train_gather_mode
+            else:
+                gather_mode = {'patch': 'clip',
+                               'shift_pallas': 'shift',
+                               'hybrid_pallas': 'hybrid'}.get(gather_mode,
+                                                              gather_mode)
         return modulated_deform_conv(
             x.astype(self.dtype), offset.astype(self.dtype),
             mask.astype(self.dtype), weight.astype(self.dtype),
@@ -131,6 +143,7 @@ class ConvModule(nn.Module):
     act: Optional[str] = 'relu'
     dcn: bool = False
     dcn_gather_mode: str = 'patch'
+    dcn_train_gather_mode: str = 'auto'
     dcn_shift_radius: int = 2
     dcn_shift_budget: int = 2048
     kernel_init: Any = None
@@ -150,6 +163,7 @@ class ConvModule(nn.Module):
                              use_bias=use_bias,
                              kernel_init=kinit,
                              gather_mode=self.dcn_gather_mode,
+                             train_gather_mode=self.dcn_train_gather_mode,
                              shift_radius=self.dcn_shift_radius,
                              shift_budget=self.dcn_shift_budget,
                              dtype=self.dtype,

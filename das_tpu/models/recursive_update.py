@@ -301,6 +301,7 @@ class NextLevelOffset(nn.Module):
     num_heads: int
     dim: int = 3
     dcn_gather_mode: str = 'patch'
+    dcn_train_gather_mode: str = 'auto'
     dcn_shift_radius: int = 2
     dcn_shift_budget: int = 2048
     dtype: Dtype = jnp.float32
@@ -312,6 +313,7 @@ class NextLevelOffset(nn.Module):
         upd = ConvModule(feat.shape[-1], 3, 1, 1, dcn=True,
                          norm_cfg=dict(type='GN', num_groups=32),
                          dcn_gather_mode=self.dcn_gather_mode,
+                         dcn_train_gather_mode=self.dcn_train_gather_mode,
                          dcn_shift_radius=self.dcn_shift_radius,
                          dcn_shift_budget=self.dcn_shift_budget,
                          dtype=self.dtype,
@@ -338,6 +340,7 @@ class RecursiveUpdateLayer(nn.Module):
     dim: int = 3
     gather_mode: str = 'auto'
     dcn_gather_mode: str = 'patch'
+    dcn_train_gather_mode: str = 'auto'
     dcn_shift_radius: int = 2
     dcn_shift_budget: int = 2048
     dtype: Dtype = jnp.float32
@@ -348,6 +351,7 @@ class RecursiveUpdateLayer(nn.Module):
         feat, offset, samp_off, samp_conf = NextLevelOffset(
             num_joints=self.num_joints, num_heads=self.num_heads,
             dim=self.dim, dcn_gather_mode=self.dcn_gather_mode,
+            dcn_train_gather_mode=self.dcn_train_gather_mode,
             dcn_shift_radius=self.dcn_shift_radius,
             dcn_shift_budget=self.dcn_shift_budget, dtype=self.dtype,
             name='next_level_offset')(feat, prev_offset, train)
@@ -385,6 +389,7 @@ class RecursiveUpdateBranch(nn.Module):
     remat: bool = False          # rematerialise each layer under grad
     gather_mode: str = 'auto'    # gather lowering for the offset sampling
     dcn_gather_mode: str = 'patch'   # tap-fetch lowering for the DCN convs
+    dcn_train_gather_mode: str = 'auto'
     dcn_shift_radius: int = 2
     dcn_shift_budget: int = 2048
     dtype: Dtype = jnp.float32
@@ -403,6 +408,7 @@ class RecursiveUpdateBranch(nn.Module):
                 num_joints=self.num_joints, num_heads=self.num_heads,
                 dim=self.dim, gather_mode=self.gather_mode,
                 dcn_gather_mode=self.dcn_gather_mode,
+                dcn_train_gather_mode=self.dcn_train_gather_mode,
                 dcn_shift_radius=self.dcn_shift_radius,
                 dcn_shift_budget=self.dcn_shift_budget,
                 dtype=self.dtype,

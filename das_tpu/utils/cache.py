@@ -28,4 +28,7 @@ def machine_key() -> str:
 
 
 def jax_cache_dir(base: str = '/tmp/das_tpu_jax_cache') -> str:
+    # DAS_TPU_JAX_CACHE_BASE overrides the location (e.g. a throwaway
+    # dir for cold-compile measurements, or a persistent volume in CI)
+    base = os.environ.get('DAS_TPU_JAX_CACHE_BASE', base)
     return f'{base}_{machine_key()}'

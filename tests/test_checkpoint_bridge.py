@@ -260,3 +260,56 @@ def test_export_roundtrip(panoptic_variables):
     for k, v in sd1.items():
         if k in sd0:
             np.testing.assert_allclose(v, sd0[k], err_msg=k)
+
+
+def test_init_model_dcn_validation_fallback(tmp_path):
+    """init_model with a shift/hybrid DCN mode must bounds-check a loaded
+    checkpoint's offsets and fall back to exact 'patch' gathers when the
+    learned offsets exceed the lowering's exactness budget."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from das_tpu.config import Config
+    from das_tpu.apis.inference import init_model, validate_dcn_offsets
+    from das_tpu.checkpoint.torch_bridge import save_torch_checkpoint
+    from das_tpu.models import build_model
+    from test_model import TINY_MODEL
+
+    mc = dict(TINY_MODEL)
+    mc['bbox_head'] = dict(mc['bbox_head'], dcn_gather_mode='hybrid',
+                           dcn_shift_radius=1, dcn_shift_budget=4)
+    model = build_model(mc)
+    variables = dict(model.init_all(jax.random.PRNGKey(0),
+                                    jnp.zeros((1, 64, 64, 3))))
+
+    # doctor every conv_offset bias so offsets blow past the radius at
+    # (almost) every pixel -> way beyond the 4-px budget
+    def blow(tree):
+        for k, v in tree.items():
+            if k == 'conv_offset':
+                v['bias'] = jnp.full_like(v['bias'], 7.0)
+            elif isinstance(v, dict):
+                blow(v)
+    blow(variables['params'])
+    path = str(tmp_path / 'doctored.pth')
+    save_torch_checkpoint(variables, path)
+
+    s_ok, h_ok, worst = validate_dcn_offsets(model, variables, radius=1,
+                                             budget=4, hw=(64, 64),
+                                             batch=1)
+    assert not s_ok and not h_ok and worst[0] >= 7.0
+
+    cfg = Config(dict(model=mc))
+    model2, vars2, cfg2 = init_model(cfg, checkpoint=path,
+                                     input_shape=(64, 64))
+    assert cfg2.model['bbox_head']['dcn_gather_mode'] == 'patch'
+    assert model2.bbox_head['dcn_gather_mode'] == 'patch'
+
+    # a clean checkpoint (zero-init offsets) keeps the configured mode
+    variables2 = dict(model.init_all(jax.random.PRNGKey(1),
+                                     jnp.zeros((1, 64, 64, 3))))
+    path2 = str(tmp_path / 'clean.pth')
+    save_torch_checkpoint(variables2, path2)
+    cfg = Config(dict(model=mc))
+    _, _, cfg3 = init_model(cfg, checkpoint=path2, input_shape=(64, 64))
+    assert cfg3.model['bbox_head']['dcn_gather_mode'] == 'hybrid'

@@ -382,3 +382,54 @@ def test_sample_bilinear_gather_modes_agree():
             got = sample_bilinear_abs(img, x, y, gather_mode=mode)
             np.testing.assert_array_equal(
                 np.asarray(got), np.asarray(ref), err_msg=mode)
+
+
+def test_deform_conv_lowering_gradients_match():
+    """The train-mode lowerings must agree in GRADIENTS, not just values:
+    d(loss)/d{x, offset, mask, weight} of 'shift' and 'hybrid' match the
+    exact 'clip' gathers for in-radius offsets, and 'hybrid' stays
+    gradient-exact for out-of-radius offsets covered by the repair
+    budget (the basis for dcn_train_gather_mode='hybrid' training)."""
+    import jax
+
+    rng = np.random.RandomState(11)
+    n, cin, cout, h, w = 2, 3, 4, 6, 7
+    x = jnp.asarray(rng.randn(n, h, w, cin).astype(np.float32))
+    mask = jnp.asarray(
+        1 / (1 + np.exp(-rng.randn(n, h, w, 9).astype(np.float32))))
+    weight = jnp.asarray(rng.randn(3, 3, cin, cout).astype(np.float32) * .2)
+    g_out = jnp.asarray(rng.randn(n, h, w, cout).astype(np.float32))
+
+    def grads(offset, mode, radius):
+        def loss(x, offset, mask, weight):
+            out = modulated_deform_conv(
+                x, offset, mask, weight, None, gather_mode=mode,
+                shift_radius=radius, shift_budget=16)
+            return (out * g_out).sum()
+        return jax.grad(loss, argnums=(0, 1, 2, 3))(x, offset, mask,
+                                                    weight)
+
+    # in-radius offsets: all three lowerings gradient-identical.
+    # Stay off hat-weight kinks (integer offset distances), where
+    # clip's lerp d/d(offset) and shift's |.|-subgradient legitimately
+    # pick different one-sided values.
+    off_in = jnp.asarray(
+        ((rng.rand(n, h, w, 18) * 1.6 - 0.8) * 0.9 + 0.05)
+        .astype(np.float32))
+    ref = grads(off_in, 'clip', 1)
+    for mode in ('shift', 'hybrid'):
+        got = grads(off_in, mode, 1)
+        for r, g, name in zip(ref, got, ('x', 'offset', 'mask', 'weight')):
+            np.testing.assert_allclose(
+                np.asarray(g), np.asarray(r), atol=3e-5,
+                err_msg=f'{mode} grad d/d{name} drifted')
+
+    # out-of-radius offsets within the repair budget: 'hybrid' stays
+    # gradient-exact (every flagged pixel's taps recomputed exactly)
+    off_big = off_in.at[:, 2:4, 2:5, :].add(3.0)
+    ref = grads(off_big, 'clip', 1)
+    got = grads(off_big, 'hybrid', 1)
+    for r, g, name in zip(ref, got, ('x', 'offset', 'mask', 'weight')):
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(r), atol=3e-5,
+            err_msg=f'hybrid out-of-radius grad d/d{name} drifted')

@@ -47,6 +47,16 @@ def main():
                              '(quiet window) -> prints MFU%% and HBM%%')
     parser.add_argument('--dcn-mode', default=None,
                         help='override bbox_head dcn_gather_mode')
+    parser.add_argument('--train', action='store_true',
+                        help='analyze the full TRAIN step (fwd+bwd+opt) '
+                             'instead of the inference forward; pair '
+                             'with --measured-ms from train_bench '
+                             '--trace for train-mode MFU/HBM')
+    parser.add_argument('--dcn-train-mode', default=None,
+                        help="with --train: dcn_train_gather_mode "
+                             "override (e.g. 'hybrid:1')")
+    parser.add_argument('--sparse-refine', action='store_true',
+                        help='with --train: train_cfg.sparse_refine')
     args = parser.parse_args()
 
     import numpy as np
@@ -67,6 +77,15 @@ def main():
         mc['bbox_head'] = dict(mc['bbox_head'], dcn_gather_mode=mode,
                                **(dict(dcn_shift_radius=int(rad))
                                   if rad else {}))
+    if args.dcn_train_mode:
+        mode, _, rad = args.dcn_train_mode.partition(':')
+        mc['bbox_head'] = dict(mc['bbox_head'],
+                               dcn_train_gather_mode=mode,
+                               **(dict(dcn_shift_radius=int(rad))
+                                  if rad else {}))
+    if args.sparse_refine:
+        mc['train_cfg'] = dict(mc.get('train_cfg') or {},
+                               sparse_refine=True)
     model = build_model(mc, dtype=dtype)
     B, H, W = args.batch, args.height, args.width
     rng = np.random.RandomState(0)
@@ -76,6 +95,43 @@ def main():
     head = cfg.model.bbox_head
     strides = tuple(head.strides)
     J = int(head.num_joints)
+
+    if args.train:
+        from das_tpu.parallel.train_step import (TrainState, make_lr_fn,
+                                                 make_optimizer,
+                                                 make_train_step,
+                                                 mspn_frozen_prefixes)
+        lr_fn = make_lr_fn(2e-3, steps_per_epoch=1000)
+        tx_init, tx_update = make_optimizer(
+            variables['params'], lr_fn,
+            frozen_prefixes=mspn_frozen_prefixes(1))
+        state = TrainState(jnp.zeros((), jnp.int32), variables['params'],
+                           variables['batch_stats'],
+                           tx_init(variables['params']))
+        featmaps = [(H // (4 * 2 ** i), W // (4 * 2 ** i))
+                    for i in range(4)]
+        step_fn = make_train_step(
+            model, tx_update, featmaps, strides,
+            tuple(tuple(r) for r in head.regress_ranges), J,
+            max_pos=128 * B, donate=False)
+        G = 8
+        batch = dict(
+            img=img,
+            gt_poses_3d=jnp.asarray(rng.randn(B, G, 3 + 4 * J),
+                                    jnp.float32),
+            gt_centers2d=jnp.asarray(
+                rng.uniform(32, min(H, W) - 32, (B, G, 2)), jnp.float32),
+            gt_depths=jnp.asarray(rng.uniform(1, 3, (B, G)), jnp.float32),
+            gt_valid=jnp.ones((B, G), bool))
+        r = analyze('train step', step_fn, state, batch)
+        if args.measured_ms is not None:
+            t = args.measured_ms / 1e3
+            print(f'measured {args.measured_ms:.1f} ms/step -> '
+                  f'train MFU {100 * r["flops"] / t / PEAK_FLOPS:.1f}%  '
+                  f'HBM {100 * r["bytes"] / t / PEAK_BYTES:.1f}% '
+                  f'(bytes-accessed overcounts fused operands; device '
+                  f'trace is the traffic truth)')
+        return
 
     def backbone(v, x):
         return model.apply(v, x, False, method=type(model).extract_feat)

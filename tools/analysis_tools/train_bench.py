@@ -32,6 +32,13 @@ def main():
     ap.add_argument('--ru-mode', default=None,
                     help="RU sampling gather mode (A/B: 'clip' vs the "
                          "'auto'->patch default)")
+    ap.add_argument('--dcn-train-mode', default=None,
+                    help="override bbox_head dcn_train_gather_mode "
+                         "(e.g. 'hybrid' = dense shift + cond repairs, "
+                         "dense adjoint; default 'auto' -> clip gathers)")
+    ap.add_argument('--sparse-refine', action='store_true',
+                    help='train_cfg.sparse_refine: RU re-sampling only at '
+                         'assigned positives (loss-bitwise-identical)')
     args = ap.parse_args()
 
     import numpy as np
@@ -59,6 +66,15 @@ def main():
             mc['bbox_head'],
             recursive_update=dict(mc['bbox_head']['recursive_update'],
                                   gather_mode=args.ru_mode))
+    if args.dcn_train_mode:
+        mode, _, rad = args.dcn_train_mode.partition(':')
+        mc['bbox_head'] = dict(mc['bbox_head'],
+                               dcn_train_gather_mode=mode,
+                               **(dict(dcn_shift_radius=int(rad))
+                                  if rad else {}))
+    if args.sparse_refine:
+        mc['train_cfg'] = dict(mc.get('train_cfg') or {},
+                               sparse_refine=True)
     model = build_model(mc, dtype=jnp.bfloat16)
     B, H, W = args.batch, args.height, args.width
     variables = dict(model.init_all(jax.random.PRNGKey(0),
