@@ -65,7 +65,12 @@ def main():
     jax.block_until_ready(out)
 
     os.system(f'rm -rf {args.logdir}')
-    jax.profiler.start_trace(args.logdir)
+    # host/python tracing OFF: host spans can flood the Chrome-trace
+    # exporter's 1e6-event cap and drop every device op (observed)
+    opts = jax.profiler.ProfileOptions()
+    opts.host_tracer_level = 0
+    opts.python_tracer_level = 0
+    jax.profiler.start_trace(args.logdir, profiler_options=opts)
     for _ in range(3):
         out = predict(variables, img, sf)
     jax.block_until_ready(out)

@@ -131,25 +131,41 @@ def main():
         import json as _json
         logdir = '/tmp/das_tpu_train_trace'
         os.system(f'rm -rf {logdir}')
-        jax.profiler.start_trace(logdir)
+        # host/python tracing OFF: the Chrome-trace exporter caps at 1e6
+        # events and host python spans flooded the cap, dropping every
+        # device op from the export (observed on this terminal build)
+        opts = jax.profiler.ProfileOptions()
+        opts.host_tracer_level = 0
+        opts.python_tracer_level = 0
+        jax.profiler.start_trace(logdir, profiler_options=opts)
         state, metrics = run_group(state, batch)
         _ = float(np.asarray(metrics['loss']))
         jax.profiler.stop_trace()
         tr = glob.glob(f'{logdir}/plugins/profile/*/*.trace.json.gz')
         with gzip.open(tr[0]) as f:
             evs = _json.load(f)['traceEvents']
-        tpu_pid = next(e['pid'] for e in evs
-                       if e.get('ph') == 'M'
-                       and e.get('name') == 'process_name'
-                       and 'TPU' in str(e['args'].get('name', '')))
-        ops_tid = next(e['tid'] for e in evs
-                       if e.get('ph') == 'M'
-                       and e.get('name') == 'thread_name'
-                       and e.get('pid') == tpu_pid
-                       and e['args'].get('name') == 'XLA Ops')
+        # sum across EVERY TPU process's "XLA Ops" thread: the tunneled
+        # backend has been seen splitting metadata and events across
+        # pids, which zeroed a first-pid-only sum
+        tpu_pids = {e['pid'] for e in evs
+                    if e.get('ph') == 'M'
+                    and e.get('name') == 'process_name'
+                    and 'TPU' in str(e['args'].get('name', ''))}
+        ops_tids = {(e['pid'], e['tid']) for e in evs
+                    if e.get('ph') == 'M'
+                    and e.get('name') == 'thread_name'
+                    and e.get('pid') in tpu_pids
+                    and e['args'].get('name') == 'XLA Ops'}
         dev_us = sum(e['dur'] for e in evs if e.get('ph') == 'X'
-                     and e.get('pid') == tpu_pid
-                     and e.get('tid') == ops_tid)
+                     and (e.get('pid'), e.get('tid')) in ops_tids)
+        if dev_us == 0:
+            names = sorted({(e['pid'], str(e['args'].get('name')))
+                            for e in evs if e.get('ph') == 'M'
+                            and e.get('name') == 'thread_name'
+                            and e.get('pid') in tpu_pids})
+            raise RuntimeError(
+                f'trace has no XLA Ops events; TPU pids={sorted(tpu_pids)}'
+                f' threads={names[:20]}')
         dev_ms = dev_us / 1e3 / iters
         print(json.dumps(dict(metric='train_step_device_ms',
                               step_ms=round(dev_ms, 1),
