@@ -207,6 +207,33 @@ def train_model(cfg: Config,
         while q:
             yield q.popleft()
 
+    # DCN exactness monitor: when training runs a shift/hybrid lowering
+    # (dcn_gather_mode or dcn_train_gather_mode), bound the learned
+    # offsets at every checkpoint — 'hybrid' is exact DCNv2 only while
+    # the flagged-pixel count stays within the repair budget
+    # (das_tpu/ops/deform_conv.py); a drifting run must be loud.
+    head_cfg = dict(cfg.model.bbox_head)
+    _modes = (str(head_cfg.get('dcn_gather_mode', 'patch')),
+              str(head_cfg.get('dcn_train_gather_mode', 'auto')))
+    monitor_dcn = any(m.startswith(('shift', 'hybrid')) for m in _modes)
+
+    def check_dcn_offsets(state, step):
+        if not monitor_dcn:
+            return
+        from .inference import validate_dcn_offsets
+        shift_ok, hybrid_ok, worst = validate_dcn_offsets(
+            model, dict(params=state.params,
+                        batch_stats=state.batch_stats),
+            int(head_cfg.get('dcn_shift_radius', 2)),
+            int(head_cfg.get('dcn_shift_budget', 2048)))
+        logger.text(
+            f'dcn offsets @ step {step}: max|off|={worst[0]:.2f} '
+            f'flagged/img={worst[1]} shift_exact={shift_ok} '
+            f'hybrid_exact={hybrid_ok}'
+            + ('' if hybrid_ok else
+               '  <-- WARNING: repair budget exceeded, hybrid lowering '
+               'is now approximate'))
+
     host_step = int(state.step)          # resume-aware
     t_last = time.perf_counter()
     for batch in prefetch_to_mesh(loader):
@@ -219,9 +246,11 @@ def train_model(cfg: Config,
         t_last = time.perf_counter()
         if host_step % steps_per_epoch == 0:
             manager.save(state, host_step)
+            check_dcn_offsets(state, host_step)
             epoch = host_step // steps_per_epoch
             if eval_dataset is not None and eval_interval and \
                     epoch % eval_interval == 0:
                 run_eval(state)
     manager.save(state, host_step)
+    check_dcn_offsets(state, host_step)
     return state

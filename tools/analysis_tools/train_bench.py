@@ -172,6 +172,22 @@ def main():
                               img_per_s=round(B / (dev_ms / 1e3), 2),
                               batch=B, hw=[H, W],
                               loss=float(np.asarray(metrics['loss'])))))
+        # per-source attribution (same method as device_profile.py)
+        from collections import defaultdict
+        by_src = defaultdict(float)
+        for e in evs:
+            if e.get('ph') == 'X' and (e.get('pid'),
+                                       e.get('tid')) in ops_tids:
+                a = e.get('args', {})
+                frames = [ln for ln in a.get('source_stack',
+                                             '').split('\n') if ln]
+                das = [f for f in frames if '/das_tpu/' in f]
+                key = (das[0] if das else a.get('source', '?')
+                       ).split('/')[-1]
+                by_src[key] += e['dur']
+        for k, v in sorted(by_src.items(), key=lambda kv: -kv[1])[:15]:
+            print(f'#   {k[:64]:64s} {v / 1e3 / iters:9.2f} ms/step '
+                  f'{100 * v / dev_us:5.1f}%')
         return
 
     best = float('inf')
