@@ -1,20 +1,37 @@
-# TPU-native training variant of exp_panoptic: the DCN tap fetch uses the
-# gather-free dense-shift lowering (streaming shifted multiply-adds instead
-# of random-access gathers; measured 1.6x e2e inference at radius 1,
-# tools/analysis_tools/e2e_mode_bench.py). The lowering clamps every
-# learned DCN offset to +-dcn_shift_radius feature px, so it is a
-# *model-semantics choice* for training from scratch — NOT for loading the
-# released reference checkpoint, whose offsets are unbounded (use
-# exp_panoptic.py for checkpoint parity; its 'patch' gathers are exact
-# DCNv2 per ref mmcv ModulatedDeformConv semantics).
+# TPU-native fast variant of exp_panoptic (train-from-scratch choice).
+#
+# Serving: the fused-Pallas 'hybrid_pallas' DCN lowering at radius 1 —
+# exact DCNv2 while every image's out-of-radius pixel count fits the
+# repair budget (cond-gated exact repairs; validated per checkpoint by
+# init_model / tools/validate_hybrid.py). Measured 19.4 img/s/chip at
+# B=4 640x1152 bf16 vs 11.1 for the exact-gather 'patch' mode.
+#
+# Training: the gather-free dense 'shift' lowering for the DCN tap
+# fetch — streaming shifted multiply-adds whose transpose is itself
+# dense shifts (no windowed scatter-add, which crashes the v5e worker).
+# Gradients are exact vs the reference gathers while learned offsets
+# stay inside +-dcn_shift_radius px (test-pinned:
+# tests/test_ops.py::test_deform_conv_lowering_gradients_match);
+# offsets are CLAMPED to the radius box beyond that, so this is a
+# model-semantics choice for training from scratch — NOT for
+# fine-tuning the released reference checkpoint (use exp_panoptic.py,
+# whose train path keeps exact 'clip' gathers). apis/train.py logs the
+# learned-offset bound at every checkpoint so saturation is loud.
+#
+# Measured on-chip (B=4 512x960 bf16, device-trace, round 5):
+#   exp_panoptic (clip train gathers + sparse_refine)   1440 ms/step
+#   this config  (shift r=1 train + sparse_refine)       735 ms/step
+# ('hybrid' training — shift base + cond-gated exact repairs — is
+# gradient-exact within budget and supported via
+# dcn_train_gather_mode='hybrid', but its train-step XLA compile ran
+# >50 min through this environment's remote-compile relay, 3/3
+# attempts failed to finish; recorded as a negative result.)
 _base_ = ['./exp_panoptic.py']
 
 model = dict(
     bbox_head=dict(
-        dcn_gather_mode='shift',
-        # +-2 feature px covers the offset range a 3x3 modulated kernel
-        # typically learns; radius 1 is ~10% faster still if the training
-        # run shows offsets saturating below it
-        dcn_shift_radius=2,
+        dcn_gather_mode='hybrid_pallas',
+        dcn_train_gather_mode='shift',
+        dcn_shift_radius=1,
     ),
 )
