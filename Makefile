@@ -30,5 +30,8 @@ warm:
 # cold-compile budget measurement: repeat `warm` against a throwaway
 # cache dir (does not disturb the shared cache)
 warm-cold-measure:
-	DAS_TPU_JAX_CACHE_BASE=$$(mktemp -d)/cache time -p \
-		$(PY) -m pytest tests/test_decode.py tests/test_golden_fixtures.py -q
+	@t0=$$(date +%s); \
+	DAS_TPU_JAX_CACHE_BASE=$$(mktemp -d)/cache \
+		$(PY) -m pytest tests/test_decode.py tests/test_golden_fixtures.py -q; \
+	rc=$$?; t1=$$(date +%s); \
+	echo "warm-cold-measure wall_s=$$((t1 - t0))"; exit $$rc

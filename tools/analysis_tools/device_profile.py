@@ -97,7 +97,7 @@ def main():
            and e.get('pid') == tpu_pid and e.get('tid') == ops_tid]
 
     by_src = defaultdict(float)
-    by_name = defaultdict(lambda: [0, 0.0])
+    by_name = defaultdict(lambda: [0, 0.0, ''])
     total = 0.0
     for e in ops:
         a = e.get('args', {})
@@ -109,6 +109,7 @@ def main():
         by_src[key] += e['dur']
         by_name[e['name']][0] += 1
         by_name[e['name']][1] += e['dur']
+        by_name[e['name']][2] = key
         total += e['dur']
 
     print(f'\n== time by source line (3 runs, total {total / 3e3:.1f} '
@@ -118,8 +119,8 @@ def main():
 
     print('\n== top individual ops ==')
     rows = sorted(by_name.items(), key=lambda kv: -kv[1][1])[:args.top]
-    for k, (c, v) in rows:
-        print(f'{k[:48]:48s} x{c:<4d} {v / 3e3:9.2f} ms/run')
+    for k, (c, v, src) in rows:
+        print(f'{k[:48]:48s} x{c:<4d} {v / 3e3:9.2f} ms/run  {src[:40]}')
 
 
 if __name__ == '__main__':
