@@ -35,23 +35,26 @@ def _resolve_gather_mode(mode: str, table_rows: int,
                          train: bool = False) -> str:
     """Resolve the gather lowering used by the offset sampling.
 
-    Quiet-window e2e measurements (tools/analysis_tools/e2e_mode_bench.py
-    --ru-mode, B=4 640x1152, round 4): 'patch' 18.76 img/s vs 'clip'
-    17.31 — one (2,2,C) slice-gather per point is half the gather rows
-    of four per-corner row fetches. Earlier dense-path ranking
+    Round-5 standalone A/B at the sparse path's real level-0 shape
+    (60x160x288x6 table, 480k candidate rows, chained best-window):
+    'xpack' 6.6 ms < packed-24ch 7.8 < 'patch' 9.8 < 4x'clip' 18.1 —
+    the (2,1,2C) window from an x-packed table fetches the same corners
+    with twice the lanes per row (see ops/interp._sample_xpack).
+    Round-4 e2e ranking (e2e_mode_bench.py --ru-mode, B=4 640x1152):
+    'patch' 18.76 img/s vs 'clip' 17.31. Earlier dense-path ranking
     (dcn_bench.py, round 3): 'clip' 174 ms, 'one_hot' 223 ms (the
     one-hot matmul burns table_rows^2 MXU work). All lowerings are
     bit-equal (test-pinned); the knob stays because the ranking is
     backend-dependent.
 
-    TRAIN resolves to 'clip': the transpose of the patch slice-gather is
-    a windowed scatter-add whose execution crashed the v5e TPU worker
-    ("kernel fault", reproduced 3x at B in {2, 4}, round 4) — the
-    row-gather adjoint runs fine."""
+    TRAIN resolves to 'clip': the transpose of the patch/xpack window
+    gathers is a windowed scatter-add whose execution crashed the v5e
+    TPU worker ("kernel fault", reproduced 3x at B in {2, 4}, round 4)
+    — the row-gather adjoint runs fine."""
     del table_rows
     if mode != 'auto':
         return mode
-    return 'clip' if train else 'patch'
+    return 'clip' if train else 'xpack'
 
 
 def _offset_sample(uvd: jnp.ndarray,

@@ -253,6 +253,32 @@ def test_deform_conv_pallas_shift_matches_xla_shift():
                                atol=3e-5)
 
 
+def test_pallas_preshift_bitwise_equals_sliced():
+    """The pre-shifted kernel variant (aligned VMEM copies of every x
+    slice start — the serving default) is BITWISE the original
+    misaligned-slice variant: same FMA order, same f32 accumulation;
+    only the read layout changes. On-chip A/B: 17.6 -> 13.6 ms at the
+    level-0 eval shape (see pallas_dcn._kernel)."""
+    from das_tpu.ops.pallas_dcn import deform_conv_shift_pallas
+    rng = np.random.RandomState(11)
+    n, cin, cout, h, w = 2, 4, 6, 8, 11
+    x = jnp.asarray(rng.randn(n, h, w, cin), jnp.float32)
+    offset = jnp.asarray((rng.rand(n, h, w, 18) * 2 - 1) * 1.4,
+                         jnp.float32)
+    mask = jnp.asarray(1 / (1 + np.exp(-rng.randn(n, h, w, 9))),
+                       jnp.float32)
+    weight = jnp.asarray(rng.randn(3, 3, cin, cout) * 0.2, jnp.float32)
+    bias = jnp.asarray(rng.randn(cout), jnp.float32)
+    for radius in (1, 2):
+        a = deform_conv_shift_pallas(x, offset, mask, weight, bias,
+                                     radius=radius, interpret=True,
+                                     preshift=False)
+        b = deform_conv_shift_pallas(x, offset, mask, weight, bias,
+                                     radius=radius, interpret=True,
+                                     preshift=True)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_dcn_v2_zero_offsets_equals_plain_conv():
     """With conv_offset weights at 0 (the init), DCNv2 == plain 3x3 conv."""
     n, cin, cout, h, w = 2, 4, 5, 6, 7
@@ -378,7 +404,7 @@ def test_sample_bilinear_gather_modes_agree():
         x = jnp.asarray(x, jnp.float32)
         y = jnp.asarray(y, jnp.float32)
         ref = sample_bilinear_abs(img, x, y, gather_mode='fill')
-        for mode in ('clip', 'one_hot', 'patch'):
+        for mode in ('clip', 'one_hot', 'patch', 'xpack'):
             got = sample_bilinear_abs(img, x, y, gather_mode=mode)
             np.testing.assert_array_equal(
                 np.asarray(got), np.asarray(ref), err_msg=mode)
