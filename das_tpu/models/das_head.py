@@ -82,6 +82,8 @@ class DASHead(nn.Module):
     dcn_train_gather_mode: str = 'auto'
     dcn_shift_radius: int = 2
     dcn_shift_budget: int = 2048
+    # eval-only fused conv+GN+relu tower kernel (ops/pallas_convgn)
+    fused_gn: bool = False
     conv_bias: Any = True
     norm_cfg: Optional[dict] = None
     recursive_update: Optional[dict] = None
@@ -116,7 +118,8 @@ class DASHead(nn.Module):
                   dcn_gather_mode=self.dcn_gather_mode,
                   dcn_train_gather_mode=self.dcn_train_gather_mode,
                   dcn_shift_radius=self.dcn_shift_radius,
-                  dcn_shift_budget=self.dcn_shift_budget)
+                  dcn_shift_budget=self.dcn_shift_budget,
+                  fused_gn=self.fused_gn)
         # fine-grained remat: each ConvModule is its own region, so the
         # backward holds one conv's activations at a time (level-level
         # remat still peaked >16G at B=4 512x960)

@@ -19,6 +19,7 @@ from __future__ import annotations
 from typing import Any, Optional, Union
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from ..ops.deform_conv import modulated_deform_conv
@@ -149,11 +150,14 @@ class ConvModule(nn.Module):
     kernel_init: Any = None
     dtype: Dtype = jnp.float32
     axis_name: Optional[str] = None
+    fused_gn: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         use_bias = (self.norm_cfg is None) if self.bias == 'auto' \
             else bool(self.bias)
+        if self._use_fused_gn(train, use_bias):
+            return self._fused_gn_call(x)
         kinit = self.kernel_init
         if self.dcn:
             assert self.stride == 1
@@ -190,6 +194,48 @@ class ConvModule(nn.Module):
         elif self.act is not None:
             raise ValueError(f'unsupported act {self.act}')
         return x
+
+    def _use_fused_gn(self, train: bool, use_bias: bool) -> bool:
+        return (self.fused_gn and not train and not self.dcn
+                and not use_bias and self.kernel_size == 3
+                and self.stride == 1 and self.padding == 1
+                and self.act == 'relu'
+                and (self.norm_cfg or {}).get('type') == 'GN')
+
+    def _fused_gn_call(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Eval-only fused conv+GN+relu (ops/pallas_convgn): one VMEM
+        pass per image instead of conv fusion -> GN stat-reduce ->
+        normalize+relu HBM round-trips. Params are created through the
+        ordinary ``nn.Conv``/``nn.GroupNorm`` children (tiny probe
+        calls, dead-code-eliminated by XLA) so the parameter tree — and
+        with it checkpoints and the torch bridge — is identical to the
+        unfused module."""
+        from ..ops.pallas_convgn import conv_gn_relu
+        conv = nn.Conv(features=self.features,
+                       kernel_size=(self.kernel_size, self.kernel_size),
+                       strides=(1, 1), padding=[(1, 1)] * 2,
+                       use_bias=False,
+                       kernel_init=self.kernel_init or
+                       nn.linear.default_kernel_init,
+                       dtype=self.dtype, name='conv')
+        _ = conv(x[:, :1, :1, :])
+        norm = make_norm(self.norm_cfg, 'gn', self.dtype, self.axis_name)
+        _ = norm(x[:, :1, :1, :self.features]
+                 if x.shape[-1] >= self.features
+                 else jnp.zeros(x.shape[:1] + (1, 1, self.features),
+                                x.dtype))
+        kernel = conv.variables['params']['kernel']
+        gamma = norm.variables['params']['scale']
+        beta = norm.variables['params']['bias']
+        dd = jax.config.jax_default_device
+        platform = dd.platform if dd is not None \
+            else jax.devices()[0].platform
+        groups = 32 if not isinstance(self.norm_cfg, dict) \
+            else self.norm_cfg.get('num_groups', 32)
+        return conv_gn_relu(x.astype(self.dtype),
+                            kernel.astype(self.dtype), gamma, beta,
+                            groups=groups,
+                            interpret=platform != 'tpu')
 
 
 class Scale(nn.Module):

@@ -249,3 +249,23 @@ def test_sparse_refine_train_loss_identical(tiny_model):
         np.testing.assert_array_equal(
             np.asarray(out['dense'][k]), np.asarray(out['sparse'][k]),
             err_msg=k)
+
+
+def test_fused_gn_preserves_eval_outputs(tiny_model):
+    """bbox_head.fused_gn=True (the Pallas conv+GN+relu tower kernel,
+    ops/pallas_convgn) must match the unfused eval forward at fp
+    tolerance with the SAME parameter tree — the fused ConvModule
+    creates its params through the ordinary nn.Conv/nn.GroupNorm
+    children, so checkpoints are interchangeable."""
+    model, variables = tiny_model
+    cfg = dict(TINY_MODEL)
+    cfg['bbox_head'] = dict(cfg['bbox_head'], fused_gn=True)
+    fused_model = build_model(cfg)
+
+    rng = np.random.RandomState(7)
+    img = jnp.asarray(rng.randn(2, *HW, 3), jnp.float32)
+    ref = model.apply(variables, img, train=False)
+    got = fused_model.apply(variables, img, train=False)
+    for r, g in zip(jax.tree.leaves(ref), jax.tree.leaves(got)):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   rtol=1e-3, atol=1e-4)

@@ -459,3 +459,30 @@ def test_deform_conv_lowering_gradients_match():
         np.testing.assert_allclose(
             np.asarray(g), np.asarray(r), atol=3e-5,
             err_msg=f'hybrid out-of-radius grad d/d{name} drifted')
+
+
+def test_conv_gn_relu_matches_xla():
+    """The fused conv+GN+relu tower kernel (ops/pallas_convgn) matches
+    the XLA ConvModule path (lax.conv -> flax GroupNorm -> relu) at fp
+    tolerance; odd widths exercise the zero-pad-column stat masking and
+    the flat-shift guard rows."""
+    import jax
+    import flax.linen as nn
+    from das_tpu.ops.pallas_convgn import conv_gn_relu
+
+    rng = np.random.RandomState(3)
+    for (h, w, cin, cout, g) in ((8, 16, 8, 8, 4), (10, 18, 32, 64, 8),
+                                 (20, 36, 64, 64, 32)):
+        x = jnp.asarray(rng.randn(2, h, w, cin), jnp.float32)
+        wt = jnp.asarray(rng.randn(3, 3, cin, cout) * 0.05, jnp.float32)
+        gamma = jnp.asarray(rng.rand(cout) + 0.5, jnp.float32)
+        beta = jnp.asarray(rng.randn(cout) * 0.1, jnp.float32)
+        y = jax.lax.conv_general_dilated(
+            x, wt, (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+        gn = nn.GroupNorm(num_groups=g, epsilon=1e-5)
+        ref = nn.relu(gn.apply({'params': {'scale': gamma,
+                                           'bias': beta}}, y))
+        out = conv_gn_relu(x, wt, gamma, beta, groups=g, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-5)
