@@ -92,9 +92,39 @@ def main():
             mode = 'hybrid'
     except Exception:
         mode = 'hybrid'
+    # Fused conv+GN+relu tower kernel (ops/pallas_convgn): same guard —
+    # verify against the XLA module path at the stride-8 tower shape,
+    # serve the plain ConvModule lowering on any mismatch.
+    fused_gn = True
+    try:
+        import flax.linen as nn
+        import jax.lax as lax
+        from das_tpu.ops.pallas_convgn import conv_gn_relu
+        rng0 = np.random.RandomState(2)
+        cx = jnp.asarray(rng0.randn(1, H // 8, W // 8, 256), jnp.bfloat16)
+        cw = jnp.asarray(rng0.randn(3, 3, 256, 256) * 0.05, jnp.bfloat16)
+        cg = jnp.asarray(rng0.rand(256) + 0.5, jnp.float32)
+        cb = jnp.asarray(rng0.randn(256) * 0.1, jnp.float32)
+        got = np.asarray(conv_gn_relu(cx, cw, cg, cb), np.float32)
+
+        def _xla_mod(x, w, gamma, beta):
+            y = lax.conv_general_dilated(
+                x, w, (1, 1), ((1, 1), (1, 1)),
+                dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+            gn = nn.GroupNorm(num_groups=32, epsilon=1e-5)
+            return nn.relu(gn.apply(
+                {'params': {'scale': gamma, 'bias': beta}}, y))
+        want = np.asarray(jax.jit(_xla_mod)(cx, cw, cg, cb), np.float32)
+        scale = max(1e-6, float(np.abs(want).max()))
+        if not np.isfinite(got).all() or \
+                float(np.abs(got - want).max()) / scale > 0.02:
+            fused_gn = False
+    except Exception:
+        fused_gn = False
     cfg, model, variables = _build(
         img_hw=(H, W), dtype=jnp.bfloat16,
-        head_overrides=dict(dcn_gather_mode=mode, dcn_shift_radius=1))
+        head_overrides=dict(dcn_gather_mode=mode, dcn_shift_radius=1,
+                            fused_gn=fused_gn))
     head = cfg.model.bbox_head
     strides = tuple(head.strides)
     J = int(head.num_joints)
@@ -179,7 +209,8 @@ def main():
         baseline_img_per_s=TORCH_CPU_BASELINE_IMG_S,
         baseline_threads=1,
         baseline_host=platform.machine(),
-        dcn_mode=mode)))
+        dcn_mode=mode,
+        fused_gn=fused_gn)))
 
 
 if __name__ == '__main__':

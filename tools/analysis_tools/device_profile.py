@@ -25,6 +25,8 @@ def main():
     parser.add_argument('--top', type=int, default=40)
     parser.add_argument('--dcn-mode', default=None,
                         help="override dcn_gather_mode, e.g. 'hybrid:1'")
+    parser.add_argument('--fused-gn', action='store_true',
+                        help='enable the fused conv+GN+relu tower kernel')
     args = parser.parse_args()
 
     import numpy as np
@@ -44,6 +46,8 @@ def main():
         mc['bbox_head'] = dict(mc['bbox_head'], dcn_gather_mode=mode,
                                **(dict(dcn_shift_radius=int(rad))
                                   if rad else {}))
+    if args.fused_gn:
+        mc['bbox_head'] = dict(mc['bbox_head'], fused_gn=True)
     model = build_model(mc, dtype=jnp.bfloat16)
     B, H, W = args.batch, args.height, args.width
     rng = np.random.RandomState(0)
