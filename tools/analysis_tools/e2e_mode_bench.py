@@ -18,7 +18,8 @@ import time
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..', '..'))
 
 
-def time_mode(mode, radius, H, W, B, groups, group, ru_mode=None):
+def time_mode(mode, radius, H, W, B, groups, group, ru_mode=None,
+              fused_gn=False):
     import numpy as np
     import jax
     import jax.numpy as jnp
@@ -36,6 +37,8 @@ def time_mode(mode, radius, H, W, B, groups, group, ru_mode=None):
             mc['bbox_head'],
             recursive_update=dict(mc['bbox_head']['recursive_update'],
                                   gather_mode=ru_mode))
+    if fused_gn:
+        mc['bbox_head'] = dict(mc['bbox_head'], fused_gn=True)
     model = build_model(mc, dtype=jnp.bfloat16)
     img0 = jnp.zeros((1, 64, 64, 3), jnp.float32)
     variables = dict(model.init_all(jax.random.PRNGKey(0), img0))
@@ -90,6 +93,8 @@ def main():
     parser.add_argument('--ru-mode', default=None,
                         help="recursive-update sampling gather mode "
                              "(default: config 'auto' -> clip)")
+    parser.add_argument('--fused-gn', action='store_true',
+                        help='enable the fused conv+GN+relu tower kernel')
     args = parser.parse_args()
 
     import jax
@@ -101,7 +106,7 @@ def main():
         radius = int(rad) if rad else 2
         dt = time_mode(mode, radius, args.height, args.width,
                        args.batch_size, args.groups, args.group,
-                       ru_mode=args.ru_mode)
+                       ru_mode=args.ru_mode, fused_gn=args.fused_gn)
         fps = args.batch_size * args.group / dt
         print(f'{spec:12s}  best group {dt * 1e3:8.1f} ms   '
               f'{fps:7.2f} img/s', flush=True)
